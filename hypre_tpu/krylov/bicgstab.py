@@ -1,0 +1,70 @@
+"""BiCGSTAB — stabilized bi-conjugate gradients (hypre krylov/bicgstab.c).
+
+Right-preconditioned van der Vorst BiCGSTAB with hypre's stopping rule
+(two-norm of the true residual relative to ||b||) and breakdown guards on
+rho, <rhat,v> and <t,t>.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
+from hypre_tpu.krylov.base import LinearOp, identity_precond
+from hypre_tpu.seq.vector import dot
+
+
+def bicgstab(
+    A: LinearOp,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    M: Optional[LinearOp] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+) -> tuple[jax.Array, ConvergenceInfo]:
+    M = M or identity_precond
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - A(x)
+    rhat = r
+    b_prod = dot(b, b)
+    eps = jnp.maximum(rtol * rtol * b_prod, atol * atol)
+    v = jnp.zeros_like(b)
+    p = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, b.dtype)
+
+    def cond(state):
+        _, r, *_, i_prod, it, ok = state
+        return (i_prod > eps) & (it < maxiter) & ok
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, _, it, _ = state
+        rho_new = dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        ph = M(p)
+        v = A(ph)
+        rv = dot(rhat, v)
+        alpha = rho_new / rv
+        s = r - alpha * v
+        sh = M(s)
+        t = A(sh)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt > 0, tt, 1.0)
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        i_prod = dot(r, r)
+        ok = jnp.isfinite(i_prod) & (rho_new != 0) & (rv != 0) & (tt > 0)
+        return (x, r, p, v, rho_new, alpha, omega, i_prod, it + 1, ok)
+
+    state = (x, r, p, v, one, one, one, dot(r, r), jnp.int32(0), jnp.array(True))
+    x, r, *_, i_prod, iters, ok = jax.lax.while_loop(cond, body, state)
+
+    safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
+    rel = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_b)
+    converged = ((i_prod <= eps) & ok) | (b_prod == 0)
+    return x, make_convergence_info(iters, rel, converged)

@@ -1,0 +1,138 @@
+"""Model problem generators — hypre's driver problem suite.
+
+Mirrors ``parcsr_ls/par_laplace.c`` (7-pt), ``par_laplace_9pt.c``,
+``par_laplace_27pt.c``, ``par_difconv.c`` and ``par_rotate_7pt.c``, which back
+the ``ij`` test driver's ``-laplacian/-9pt/-27pt/-difconv/-rotate`` flags
+(``test/ij.c:521-575``). hypre assembles these row-by-row into ParCSR; here a
+stencil problem goes *directly* to the static ELL layout — for a constant
+stencil every row has the same slot structure, so assembly is a vectorized
+neighbor-index computation with no sort, and scales to bench-size grids
+(128^3 x 27pt) in milliseconds.
+
+Dirichlet boundary handling matches hypre's generators: the stencil is simply
+truncated at the boundary (eliminated boundary conditions), keeping the
+matrix SPD for the Laplacian cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hypre_tpu.core.config import PAD_COL, default_real_dtype
+from hypre_tpu.seq.ell import EllMatrix
+
+
+def stencil_to_ell(grid_shape, offsets, coeffs, dtype=None) -> EllMatrix:
+    """Assemble a constant-coefficient stencil operator on a dense grid.
+
+    grid_shape: tuple of grid dims (row index = C-order flattening).
+    offsets: (k, ndim) int array of stencil offsets.
+    coeffs: (k,) stencil coefficients, aligned with offsets.
+    """
+    dtype = dtype or default_real_dtype()
+    grid_shape = tuple(int(g) for g in grid_shape)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    coeffs = np.asarray(coeffs, dtype=dtype)
+    ndim = len(grid_shape)
+    n = int(np.prod(grid_shape))
+    k = offsets.shape[0]
+
+    idx = np.indices(grid_shape).reshape(ndim, n)  # (ndim, n) coordinates
+    cols = np.full((n, k), PAD_COL, dtype=np.int32)
+    vals = np.zeros((n, k), dtype=dtype)
+    strides = np.array(
+        [int(np.prod(grid_shape[d + 1 :])) for d in range(ndim)], dtype=np.int64
+    )
+    for s in range(k):
+        nbr = idx + offsets[s][:, None]
+        inside = np.ones(n, dtype=bool)
+        for d in range(ndim):
+            inside &= (nbr[d] >= 0) & (nbr[d] < grid_shape[d])
+        flat = (nbr * strides[:, None]).sum(axis=0)
+        cols[inside, s] = flat[inside]
+        vals[inside, s] = coeffs[s]
+    return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols), n_cols=n)
+
+
+def laplacian_2d_5pt(nx: int, ny: int, dtype=None) -> EllMatrix:
+    """-Δ on an nx x ny grid, 5-point stencil (ij.c -laplacian ... -n 2D)."""
+    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+    coeffs = [4.0, -1.0, -1.0, -1.0, -1.0]
+    return stencil_to_ell((nx, ny), offsets, coeffs, dtype)
+
+
+def laplacian_2d_9pt(nx: int, ny: int, dtype=None) -> EllMatrix:
+    """9-point Laplacian (par_laplace_9pt.c: 8 on diag, -1 on all 8 neighbors)."""
+    offsets = [(0, 0)] + [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    coeffs = [8.0] + [-1.0] * 8
+    return stencil_to_ell((nx, ny), offsets, coeffs, dtype)
+
+
+def laplacian_3d_7pt(nx: int, ny: int, nz: int, dtype=None) -> EllMatrix:
+    offsets = [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+    coeffs = [6.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]
+    return stencil_to_ell((nx, ny, nz), offsets, coeffs, dtype)
+
+
+def laplacian_3d_27pt(nx: int, ny: int, nz: int, dtype=None) -> EllMatrix:
+    """27-point Laplacian (par_laplace_27pt.c: 26 on diag, -1 on 26 neighbors)."""
+    offsets = [(0, 0, 0)] + [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) != (0, 0, 0)
+    ]
+    coeffs = [26.0] + [-1.0] * 26
+    return stencil_to_ell((nx, ny, nz), offsets, coeffs, dtype)
+
+
+def difconv_3d_7pt(
+    nx: int, ny: int, nz: int, ax: float = 1.0, ay: float = 1.0, az: float = 1.0,
+    cx: float = 1.0, cy: float = 0.0, cz: float = 0.0, dtype=None,
+) -> EllMatrix:
+    """Convection-diffusion -a·Δu + c·∇u, upwind first-order (par_difconv.c).
+
+    h-scaled like hypre: h = 1/(nx+1) per direction, central diffusion +
+    upwind convection, giving a nonsymmetric M-matrix for c != 0.
+    """
+    hx, hy, hz = 1.0 / (nx + 1), 1.0 / (ny + 1), 1.0 / (nz + 1)
+    # diffusion / h^2 plus upwind convection / h (flow assumed positive)
+    wdiag = 2 * ax / hx**2 + 2 * ay / hy**2 + 2 * az / hz**2 + cx / hx + cy / hy + cz / hz
+    offsets = [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+    coeffs = [
+        wdiag,
+        -ax / hx**2 - cx / hx,
+        -ax / hx**2,
+        -ay / hy**2 - cy / hy,
+        -ay / hy**2,
+        -az / hz**2 - cz / hz,
+        -az / hz**2,
+    ]
+    return stencil_to_ell((nx, ny, nz), offsets, coeffs, dtype)
+
+
+def rotated_anisotropy_2d(nx: int, ny: int, eps: float = 0.001, theta_deg: float = 45.0, dtype=None) -> EllMatrix:
+    """Rotated anisotropic diffusion, 7-pt stencil (par_rotate_7pt.c).
+
+    -div(K grad u) with K = R(theta) diag(1, eps) R(theta)^T discretized on a
+    7-point (2-D) stencil; the classic AMG stress test for strength-of-
+    connection and coarsening (ij driver flag ``-rotate``).
+    """
+    th = np.deg2rad(theta_deg)
+    c, s = np.cos(th), np.sin(th)
+    cxx = c * c + eps * s * s
+    cyy = s * s + eps * c * c
+    cxy = 2 * (1.0 - eps) * c * s
+    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (1, 1)]
+    coeffs = [
+        2 * cxx + 2 * cyy - cxy,
+        -cxx + cxy / 2,
+        -cxx + cxy / 2,
+        -cyy + cxy / 2,
+        -cyy + cxy / 2,
+        -cxy / 2,
+        -cxy / 2,
+    ]
+    return stencil_to_ell((nx, ny), offsets, coeffs, dtype)
