@@ -1,0 +1,105 @@
+"""PMIS coarsening (hypre_BoomerAMGCoarsenPMIS, parcsr_ls/par_coarsen.c:2813).
+
+PMIS (parallel modified independent set, De Sterck/Yang/Heys) is hypre's
+GPU-default coarsening (type 8) because every round is data-parallel — which
+also makes it the natural TPU coarsening. The whole loop runs as one
+lax.while_loop on device:
+
+  measure_i = |S^T_i| + rand_i                (rand from a stateless hash of
+                                               the global row id, like hypre's
+                                               seeded -pmis1 reproducible mode,
+                                               test/ij.c:2052)
+  repeat until no point is undecided:
+    - a point joins C if its measure beats every undecided neighbor in
+      S_i ∪ S^T_i (distance-1 independent set on the strength graph),
+    - an undecided point becomes F as soon as some C point appears in S_i
+      (it strongly depends on a C point, hence can interpolate).
+
+CF marker convention follows hypre: +1 = C-point, -1 = F-point. Points with
+no strong connections at all never get selected and are finalized as F with
+an empty interpolation row (hypre's 'isolated F points', CF -3 there).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hypre_tpu.core.config import hash_rand01
+from hypre_tpu.amg.strength import strength_transpose_counts
+from hypre_tpu.seq.ell import EllMatrix
+
+C_PT = 1
+F_PT = -1
+UNDECIDED = 0
+
+
+def pmis(A: EllMatrix, S: jax.Array, global_row_offset: int | jax.Array = 0) -> jax.Array:
+    """Returns the CF marker (n,) int32 in {+1 C, -1 F}.
+
+    global_row_offset makes the tie-breaking hash shard-invariant in the
+    distributed setting (measure of global row i is the same wherever it
+    lives).
+    """
+    n, _ = A.cols.shape
+    rows_global = jnp.arange(n, dtype=jnp.int32) + global_row_offset
+    st_counts = strength_transpose_counts(A, S)
+    measure0 = st_counts.astype(A.dtype) + hash_rand01(rows_global).astype(A.dtype)
+
+    has_strong_row = jnp.any(S, axis=1)
+    has_strong_col = st_counts > 0
+    isolated = ~has_strong_row & ~has_strong_col
+
+    cols_c = jnp.maximum(A.cols, 0)
+    overflow = A.n_rows  # scatter overflow slot
+
+    def cond(state):
+        cf, _ = state
+        return jnp.any(cf == UNDECIDED)
+
+    def body(state):
+        cf, measure = state
+        undecided = cf == UNDECIDED
+        m = jnp.where(undecided, measure, 0.0)
+
+        # neighbor max over S rows (gather) and S columns (scatter-max)
+        nbr_vals = jnp.where(S, m[cols_c], 0.0)
+        row_nbr_max = jnp.max(nbr_vals, axis=1)
+        scatter_cols = jnp.where(S, A.cols, overflow).reshape(-1)
+        col_nbr_max = (
+            jnp.zeros(A.n_rows + 1, m.dtype)
+            .at[scatter_cols]
+            .max(jnp.broadcast_to(m[:, None], S.shape).reshape(-1))
+        )[:-1]
+        nbr_max = jnp.maximum(row_nbr_max, col_nbr_max)
+
+        new_c = undecided & (m > nbr_max) & (m > 0)
+        cf = jnp.where(new_c, C_PT, cf)
+
+        # undecided points strongly depending on a C point become F
+        dep_on_c = jnp.any(S & (cf[cols_c] == C_PT), axis=1)
+        cf = jnp.where((cf == UNDECIDED) & dep_on_c, F_PT, cf)
+        # points that can never be selected or interpolate: finalize as F
+        cf = jnp.where((cf == UNDECIDED) & isolated, F_PT, cf)
+        # stall guard: if nothing changed this round (pathological ties),
+        # promote all remaining undecided to C to guarantee termination
+        stalled = jnp.all(cf == state[0])
+        cf = jnp.where(stalled & (cf == UNDECIDED), C_PT, cf)
+        return (cf, measure)
+
+    cf0 = jnp.where(isolated, F_PT, UNDECIDED).astype(jnp.int32)
+    # points with measure < 1 (nobody depends on them) but with strong
+    # dependencies can safely start as F candidates once a C neighbor exists;
+    # hypre additionally pre-F's them — the loop above subsumes that.
+    cf, _ = jax.lax.while_loop(cond, body, (cf0, measure0))
+    return cf
+
+
+def coarse_map(cf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(map, n_coarse): map[i] = coarse index of C-point i, -1 for F-points.
+
+    hypre's coarse-grid numbering pass (par_coarse_parms.c).
+    """
+    is_c = cf == C_PT
+    idx = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+    return jnp.where(is_c, idx, -1), jnp.sum(is_c.astype(jnp.int32))

@@ -1,0 +1,97 @@
+"""Smoothers (hypre_BoomerAMGRelax dispatch, parcsr_ls/par_relax.c:23).
+
+TPU-native smoother set. Gauss-Seidel is inherently sequential, and hypre's
+own GPU answer is to prefer the pointwise-parallel smoothers (ℓ1-Jacobi is
+the device default, relax type 18) — we adopt exactly that menu:
+
+- weighted Jacobi          (hypre relax 0/7)
+- ℓ1-Jacobi                (relax 18: d_i = sum_j |a_ij|, unconditionally
+                            convergent for symmetric A, par_relax.c)
+- ℓ1 hybrid GS analogue: two-stage Gauss-Seidel (relax 11/12) comes later
+- Chebyshev polynomial     (par_cheby.c + eigenvalue estimate
+                            hypre_ParCSRMaxEigEstimate, par_relax_more.c:136)
+
+Each smoother is a pure function (A-ops, u, f) -> u usable inside jit; the
+hierarchy precomputes the diagonal vectors once at setup like hypre's
+l1_norms arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hypre_tpu.core.config import hash_rand01
+from hypre_tpu.seq.ell import EllMatrix
+
+
+def jacobi(A: EllMatrix, dinv: jax.Array, u: jax.Array, f: jax.Array, weight: float = 1.0) -> jax.Array:
+    return u + weight * dinv * (f - A.mv(u))
+
+
+def l1_norms(A: EllMatrix) -> jax.Array:
+    """ℓ1 row norms d_i = sum_j |a_ij| (hypre relax-18 l1_norms array)."""
+    d = A.abs_row_sums()
+    return jnp.where(d > 0, d, 1.0)
+
+
+def l1_jacobi(A: EllMatrix, l1inv: jax.Array, u: jax.Array, f: jax.Array) -> jax.Array:
+    return u + l1inv * (f - A.mv(u))
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev (par_cheby.c)
+# ---------------------------------------------------------------------------
+
+
+def max_eig_estimate(A: EllMatrix, dinv: jax.Array, iters: int = 10) -> jax.Array:
+    """Power-method estimate of lambda_max(D^-1 A), with hypre's 10%
+    safety margin (hypre_ParCSRMaxEigEstimate, par_relax_more.c:136 uses a
+    CG/power estimate then scales by 1.1 before building coefficients)."""
+    n = A.vec_len_rows
+    x = hash_rand01(jnp.arange(n, dtype=jnp.int32)).astype(A.dtype) - 0.5
+
+    def body(_, x):
+        y = dinv * A.mv(x)
+        return y / jnp.linalg.norm(y)
+
+    x = jax.lax.fori_loop(0, iters, body, x / jnp.linalg.norm(x))
+    y = dinv * A.mv(x)
+    return 1.1 * jnp.vdot(x, y) / jnp.vdot(x, x)
+
+
+def chebyshev(
+    A: EllMatrix,
+    dinv: jax.Array,
+    lmax: jax.Array,
+    u: jax.Array,
+    f: jax.Array,
+    order: int = 2,
+    eig_ratio: float = 0.3,
+) -> jax.Array:
+    """Chebyshev smoothing of order ``order`` on D^{-1}A over
+    [eig_ratio*lmax, lmax] (hypre cheby_fraction default 0.3,
+    hypre_ParCSRRelax_Cheby_Solve). Standard three-term recurrence on the
+    residual-correction form; no inner products — ideal for TPU (the whole
+    smoother is SpMV + axpy)."""
+    lmin = eig_ratio * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    r = dinv * (f - A.mv(u))
+    rho = 1.0 / sigma
+    d = r / theta
+    u = u + d
+
+    def body(_, carry):
+        u, d, rho = carry
+        r = dinv * (f - A.mv(u))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        return (u + d, d, rho_new)
+
+    u, _, _ = jax.lax.fori_loop(0, order - 1, body, (u, d, rho))
+    return u

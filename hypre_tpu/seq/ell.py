@@ -91,6 +91,26 @@ class EllMatrix:
     def with_vals(self, vals: jax.Array) -> "EllMatrix":
         return dataclasses.replace(self, vals=vals)
 
+    # -- operator protocol (shared with ParEllMatrix so multigrid cycles and
+    #    smoothers are distribution-agnostic, like hypre's matvec vtable
+    #    HYPRE_MatvecFunctions.h) ---------------------------------------------
+
+    @property
+    def vec_len_rows(self) -> int:
+        """Length of a compatible row-space vector (padded length for the
+        distributed subclass)."""
+        return self.n_rows
+
+    @property
+    def vec_len_cols(self) -> int:
+        return self.n_cols
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return ell_spmv(self, x)
+
+    def mv_t(self, x: jax.Array) -> jax.Array:
+        return ell_spmv_t(self, x)
+
 
 # ---------------------------------------------------------------------------
 # SpMV — THE hot kernel (hypre_CSRMatrixMatvec, seq_mv/csr_matvec.c:699)

@@ -84,6 +84,10 @@ def ell_spgemm(A: EllMatrix, B: EllMatrix, out_k: int | None = None) -> EllMatri
     required_k = int(required_k)
     if required_k > out_k:
         C, _ = jax.jit(ell_spgemm_raw, static_argnums=2)(A, B, required_k)
+    elif required_k < out_k:
+        # uniques are left-aligned by the merge; shrink to the true width
+        k = max(required_k, 1)
+        C = EllMatrix(vals=C.vals[:, :k], cols=C.cols[:, :k], n_cols=C.n_cols)
     return C
 
 
@@ -138,6 +142,10 @@ def ell_transpose(A: EllMatrix, out_k: int | None = None) -> EllMatrix:
     required_k = int(required_k)
     if required_k > out_k:
         T, _ = jax.jit(ell_transpose_raw, static_argnums=1)(A, required_k)
+    elif required_k < out_k:
+        # slots are filled left-to-right per column segment; shrink
+        k = max(required_k, 1)
+        T = EllMatrix(vals=T.vals[:, :k], cols=T.cols[:, :k], n_cols=T.n_cols)
     return T
 
 

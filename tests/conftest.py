@@ -5,15 +5,14 @@ axes: the HYPRE_SEQUENTIAL MPI-stub serial build (``utilities/mpistubs.c:763``)
 is 1-device jax, and the <=8-rank ``mpirun`` regression runs
 (``test/runtest.sh:13-14``) are an 8-device virtual mesh. x64 is enabled so
 convergence goldens are checked at hypre's native float64.
+
+NOTE: this environment pre-imports jax via a sitecustomize that registers the
+axon TPU plugin and pins JAX_PLATFORMS=axon, so env vars set here are too
+late — the platform must be switched through jax.config *after* import.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

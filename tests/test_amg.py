@@ -1,0 +1,219 @@
+"""BoomerAMG tests — convergence goldens and component invariants.
+
+Mirrors hypre's TEST_ij strategy (iteration counts + final relative residual
+norms as golden targets, ``TEST_ij/solvers.saved``): the hypre goldens for the
+2-D 5-pt Laplacian are AMG-PCG=7, AMG-GMRES=7, AMG-BiCGSTAB=9 iterations at
+rtol 1e-8; the default configuration here must stay in that class.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hypre_tpu.amg import BoomerAMG
+from hypre_tpu.amg.strength import strength_mask
+from hypre_tpu.amg.coarsen import pmis, coarse_map, C_PT, F_PT
+from hypre_tpu.amg.interp import direct_interp, ext_plus_i_interp, truncate_interp
+from hypre_tpu.krylov import pcg, gmres, bicgstab
+from hypre_tpu.problems.laplacian import (
+    laplacian_2d_5pt, laplacian_3d_7pt, laplacian_3d_27pt,
+    difconv_3d_7pt, rotated_anisotropy_2d,
+)
+from hypre_tpu.seq.ell import ell_spmv, ell_to_csr
+from hypre_tpu.seq.spgemm import ell_spgemm, ell_transpose
+
+
+@pytest.fixture(scope="module")
+def lap50():
+    A = laplacian_2d_5pt(50, 50)
+    return A, jnp.ones(2500)
+
+
+class TestComponents:
+    def test_strength_laplacian_all_neighbors_strong(self):
+        A = laplacian_2d_5pt(10, 10)
+        S = strength_mask(A, 0.25)
+        # uniform -1 off-diagonals: every off-diagonal entry is strong
+        np.testing.assert_array_equal(np.asarray(S), np.asarray(A.offdiag_mask()))
+
+    def test_strength_anisotropic_picks_strong_direction(self):
+        # strong coupling in x only: -100 in x, -1 in y
+        from hypre_tpu.problems.laplacian import stencil_to_ell
+        A = stencil_to_ell(
+            (10, 10),
+            [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)],
+            [202.0, -100.0, -100.0, -1.0, -1.0],
+        )
+        S = np.asarray(strength_mask(A, 0.25))
+        vals = np.asarray(A.vals)
+        assert S[vals == -100.0].all()
+        assert not S[vals == -1.0].any()
+
+    def test_pmis_properties(self):
+        A = laplacian_2d_5pt(20, 20)
+        S = strength_mask(A, 0.25)
+        cf = np.asarray(pmis(A, S))
+        Sn = np.asarray(S)
+        cols = np.asarray(A.cols)
+        assert set(np.unique(cf)) <= {C_PT, F_PT}
+        # every F point strongly depends on at least one C point
+        for i in range(A.n_rows):
+            if cf[i] == F_PT:
+                strong_cols = cols[i][Sn[i]]
+                assert (cf[strong_cols] == C_PT).any(), f"F point {i} cannot interpolate"
+        # C points form an independent set in the strength graph
+        for i in range(A.n_rows):
+            if cf[i] == C_PT:
+                strong_cols = cols[i][Sn[i]]
+                assert not (cf[strong_cols] == C_PT).any(), f"adjacent C points at {i}"
+
+    def test_pmis_deterministic(self):
+        A = laplacian_2d_5pt(15, 15)
+        S = strength_mask(A, 0.25)
+        cf1 = np.asarray(pmis(A, S))
+        cf2 = np.asarray(pmis(A, S))
+        np.testing.assert_array_equal(cf1, cf2)
+
+    def test_interp_rowsums(self):
+        """Interior F rows of P must reproduce constants (row sum 1)."""
+        A = laplacian_3d_7pt(8, 8, 8)
+        S = strength_mask(A, 0.25)
+        cf = pmis(A, S)
+        cmap, n_c = coarse_map(cf)
+        for build in (direct_interp, ext_plus_i_interp):
+            P = build(A, S, cf, cmap, int(n_c))
+            rs = np.asarray(P.row_sums())
+            interior = np.asarray(A.row_sums()) == 0  # zero-row-sum rows
+            np.testing.assert_allclose(rs[interior], 1.0, rtol=1e-12)
+
+    def test_truncation_preserves_rowsums(self):
+        A = laplacian_2d_5pt(12, 12)
+        S = strength_mask(A, 0.25)
+        cf = pmis(A, S)
+        cmap, n_c = coarse_map(cf)
+        P = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+        Pt = truncate_interp(P, max_elmts=4)
+        assert Pt.k <= 4
+        np.testing.assert_allclose(
+            np.asarray(Pt.row_sums()), np.asarray(P.row_sums()), rtol=1e-12
+        )
+
+    def test_galerkin_rap_exact(self):
+        A = laplacian_2d_5pt(10, 10)
+        S = strength_mask(A, 0.25)
+        cf = pmis(A, S)
+        cmap, n_c = coarse_map(cf)
+        P = truncate_interp(ext_plus_i_interp(A, S, cf, cmap, int(n_c)), 4)
+        Pt = ell_transpose(P)
+        RAP = ell_spgemm(Pt, ell_spgemm(A, P))
+        Ad = ell_to_csr(A).to_dense()
+        Pd = ell_to_csr(P).to_dense()
+        np.testing.assert_allclose(
+            ell_to_csr(RAP).to_dense(), Pd.T @ Ad @ Pd, rtol=1e-12, atol=1e-13
+        )
+
+
+class TestBoomerAMGConvergence:
+    def test_amg_pcg_golden_2d(self, lap50):
+        """hypre golden: 7 iters (TEST_ij/solvers.saved:1-3)."""
+        A, b = lap50
+        amg = BoomerAMG().setup(A)
+        x, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 8
+        r = b - ell_spmv(A, x)
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) <= 1e-8
+
+    def test_amg_gmres_golden_2d(self, lap50):
+        """hypre golden: 7 iters (solvers.saved:9-11)."""
+        A, b = lap50
+        amg = BoomerAMG().setup(A)
+        _, info = gmres(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 9
+
+    def test_amg_bicgstab_golden_2d(self, lap50):
+        """hypre golden: 9 iters (solvers.saved:17-19)."""
+        A, b = lap50
+        amg = BoomerAMG().setup(A)
+        _, info = bicgstab(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 10
+
+    def test_amg_standalone_2d(self, lap50):
+        A, b = lap50
+        amg = BoomerAMG().setup(A)
+        x, info = amg.solve(b, rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 15
+
+    def test_amg_pcg_3d_7pt(self):
+        A = laplacian_3d_7pt(12, 12, 12)
+        b = jnp.ones(12**3)
+        amg = BoomerAMG().setup(A)
+        _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 9
+
+    def test_amg_pcg_3d_27pt(self):
+        A = laplacian_3d_27pt(10, 10, 10)
+        b = jnp.ones(1000)
+        amg = BoomerAMG().setup(A)
+        _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 12
+
+    def test_amg_gmres_nonsymmetric(self):
+        A = difconv_3d_7pt(10, 10, 10, cx=2.0, cy=1.0)
+        b = jnp.ones(1000)
+        amg = BoomerAMG().setup(A)
+        _, info = gmres(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 20
+
+    def test_amg_rotated_anisotropy(self):
+        A = rotated_anisotropy_2d(30, 30, eps=0.001, theta_deg=45.0)
+        b = jnp.ones(900)
+        amg = BoomerAMG().setup(A)
+        _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 40  # hard problem; hypre needs extras too
+
+    def test_w_cycle(self, lap50):
+        A, b = lap50
+        amg = BoomerAMG(cycle_type=2).setup(A)
+        _, info = amg.solve(b, rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 12
+
+    def test_l1_jacobi_config(self, lap50):
+        """hypre's device-default relax 18 must also converge well."""
+        A, b = lap50
+        amg = BoomerAMG(relax="l1-jacobi", num_sweeps=2).setup(A)
+        _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 12
+
+    def test_jit_full_solve(self, lap50):
+        """The whole AMG-PCG solve must be one jittable program."""
+        A, b = lap50
+        amg = BoomerAMG().setup(A)
+        fn = jax.jit(lambda b: pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8))
+        x, info = fn(b)
+        assert bool(info.converged)
+
+    def test_operator_complexity_bounded(self, lap50):
+        A, _ = lap50
+        amg = BoomerAMG().setup(A)
+        total = sum(int(l.A.nnz()) for l in amg.hierarchy.levels)
+        cmplx = total / int(amg.hierarchy.levels[0].A.nnz())
+        assert cmplx < 2.5, f"operator complexity {cmplx} too high"
+
+    def test_float32(self):
+        A = laplacian_2d_5pt(30, 30, dtype=jnp.float32)
+        b = jnp.ones(900, jnp.float32)
+        amg = BoomerAMG().setup(A)
+        x, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-5)
+        assert bool(info.converged)
+        assert x.dtype == jnp.float32
