@@ -1,0 +1,201 @@
+"""PFMG — semicoarsening multigrid for structured grids.
+
+TPU-native rebuild of hypre's PFMG (``struct_ls/pfmg_setup.c:63``,
+``pfmg_solve.c:31``): per level, pick the coarsening direction with the
+smallest effective mesh size (strongest coupling, hypre_PFMGComputeDxyz,
+``pfmg_setup.c:174``), build operator-induced semicoarsening interpolation
+(``pfmg_setup_interp.c``), form the Galerkin coarse operator — here by
+lattice probing (replacing ``pfmg_setup_rap*.c``) — and V-cycle with
+weighted-Jacobi or red-black Gauss-Seidel smoothing.
+
+Setup is host-orchestrated (shapes change per level); the solve is one jitted
+program whose V-cycle unrolls into fused stencil passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
+from hypre_tpu.struct.matrix import StructMatrix, struct_matvec
+from hypre_tpu.struct.probe import probe_stencil
+from hypre_tpu.struct.relax import (
+    diag_inverse,
+    parity_mask,
+    red_black_gs,
+    weighted_jacobi,
+)
+from hypre_tpu.struct.semi import SemiInterp, coarse_shape, semi_interp_from_matrix
+
+
+def compute_dxyz(A: StructMatrix) -> np.ndarray:
+    """Effective mesh sizes from matrix coefficients
+    (hypre_PFMGComputeDxyz, pfmg_setup.c:768): coupling strength per dim
+    c_d = mean |off-diagonal mass| in that dim; dxyz_d = 1/sqrt(c_d)."""
+    cxyz = []
+    for d in range(A.ndim):
+        acc = 0.0
+        for s, off in enumerate(A.stencil.offsets):
+            if off[d] != 0:
+                acc += float(jnp.mean(jnp.abs(A.coeffs[s])))
+        cxyz.append(acc)
+    cxyz = np.asarray(cxyz)
+    cmax = cxyz.max() if cxyz.max() > 0 else 1.0
+    cxyz = np.where(cxyz > 0, cxyz, 1e-30 * cmax)
+    return 1.0 / np.sqrt(cxyz)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PFMGLevel:
+    A: StructMatrix
+    P: Optional[SemiInterp]  # None on the coarsest level
+    dinv: jax.Array
+    red: jax.Array  # checkerboard mask for RB-GS
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PFMGHierarchy:
+    levels: List[PFMGLevel]
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    coarse_shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+
+@dataclasses.dataclass
+class PFMG:
+    """HYPRE_StructPFMG* object protocol (HYPRE_struct_ls.h)."""
+
+    max_levels: int = 25
+    max_coarse_size: int = 32
+    relax_type: str = "rb-gs"  # 'jacobi' | 'rb-gs'  (hypre 1 | 2)
+    jacobi_weight: float = 2.0 / 3.0
+    num_pre_relax: int = 1
+    num_post_relax: int = 1
+    rap_extent: int = 1  # coarse-stencil extent bound fed to the prober
+
+    hierarchy: Optional[PFMGHierarchy] = dataclasses.field(default=None, repr=False)
+
+    def setup(self, A: StructMatrix) -> "PFMG":
+        levels: List[PFMGLevel] = []
+        dxyz = compute_dxyz(A)
+        while (
+            len(levels) < self.max_levels - 1 and A.n_rows > self.max_coarse_size
+        ):
+            # coarsen the dim with the smallest effective mesh size that can
+            # still coarsen (pfmg_setup.c:224-235); x2 per coarsening (:328)
+            candidates = [d for d in range(A.ndim) if A.shape[d] >= 3]
+            if not candidates:
+                break
+            cdir = min(candidates, key=lambda d: dxyz[d])
+            dxyz = dxyz.copy()
+            dxyz[cdir] *= 2
+
+            P = semi_interp_from_matrix(A, cdir)
+            cshape = coarse_shape(A.shape, cdir)
+            ext = tuple(
+                1 if d == cdir else A.stencil.extent[d] for d in range(A.ndim)
+            )
+            ext = tuple(max(e, 0) for e in ext)
+            Ac = probe_stencil(
+                lambda xc: P.apply_t(struct_matvec(A, P.apply(xc))),
+                cshape,
+                ext,
+                A.dtype,
+            )
+            levels.append(
+                PFMGLevel(
+                    A=A,
+                    P=P,
+                    dinv=diag_inverse(A),
+                    red=jnp.asarray(parity_mask(A.shape)),
+                )
+            )
+            A = Ac
+
+        coarse_inv = jnp.linalg.pinv(A.to_dense())
+        self.hierarchy = PFMGHierarchy(
+            levels=levels, coarse_inv=coarse_inv, coarse_shape=A.shape
+        )
+        return self
+
+    # -- cycle ---------------------------------------------------------------
+
+    def _smooth(self, lev: PFMGLevel, u, f, sweeps: int):
+        for _ in range(sweeps):
+            if self.relax_type == "jacobi":
+                u = weighted_jacobi(lev.A, lev.dinv, u, f, self.jacobi_weight)
+            else:
+                u = red_black_gs(lev.A, lev.dinv, lev.red, u, f)
+        return u
+
+    def cycle(self, f: jax.Array, u: Optional[jax.Array] = None) -> jax.Array:
+        """One V-cycle (hypre_PFMGSolve's inner cycle, pfmg_solve.c:31)."""
+        hier = self.hierarchy
+        assert hier is not None, "call setup(A) first"
+
+        def descend(level: int, f, u):
+            if level == len(hier.levels):
+                xc = hier.coarse_inv @ f.reshape(-1)
+                return xc.reshape(hier.coarse_shape)
+            lev = hier.levels[level]
+            u = self._smooth(lev, u, f, self.num_pre_relax)
+            r = f - struct_matvec(lev.A, u)
+            rc = lev.P.apply_t(r)
+            ec = descend(level + 1, rc, jnp.zeros_like(rc))
+            u = u + lev.P.apply(ec)
+            return self._smooth(lev, u, f, self.num_post_relax)
+
+        if u is None:
+            u = jnp.zeros_like(f)
+        return descend(0, f, u)
+
+    def precond(self):
+        """Plug into Krylov M (HYPRE_StructPCGSetPrecond analogue). Works on
+        either grid-shaped or raveled vectors."""
+        shape = self.hierarchy.levels[0].A.shape if self.hierarchy.levels else self.hierarchy.coarse_shape
+
+        def M(r):
+            flat = r.ndim == 1
+            z = self.cycle(r.reshape(shape) if flat else r)
+            return z.reshape(-1) if flat else z
+
+        return M
+
+    def solve(
+        self,
+        b: jax.Array,
+        x0: Optional[jax.Array] = None,
+        rtol: float = 1e-6,
+        maxiter: int = 200,
+    ) -> tuple[jax.Array, ConvergenceInfo]:
+        hier = self.hierarchy
+        assert hier is not None, "call setup(A) first"
+        A0 = hier.levels[0].A if hier.levels else None
+        if A0 is None:
+            x = (hier.coarse_inv @ b.reshape(-1)).reshape(hier.coarse_shape)
+            return x, make_convergence_info(1, 0.0, True)
+        x = jnp.zeros_like(b) if x0 is None else x0
+        b2 = jnp.sum(b * b)
+        eps = rtol * rtol * b2
+
+        def cond(state):
+            _, r2, it = state
+            return (r2 > eps) & (it < maxiter) & jnp.isfinite(r2)
+
+        def body(state):
+            x, _, it = state
+            x = self.cycle(b, x)
+            r = b - struct_matvec(A0, x)
+            return x, jnp.sum(r * r), it + 1
+
+        r0 = b - struct_matvec(A0, x)
+        x, r2, iters = jax.lax.while_loop(cond, body, (x, jnp.sum(r0 * r0), jnp.int32(0)))
+        safe_b2 = jnp.where(b2 > 0, b2, 1.0)
+        rel = jnp.sqrt(jnp.maximum(r2, 0.0) / safe_b2)
+        return x, make_convergence_info(iters, rel, (r2 <= eps) | (b2 == 0))
