@@ -1,18 +1,10 @@
-"""Restarted GMRES with CGS2 orthogonalization.
+"""FlexGMRES — GMRES with a variable (flexible) preconditioner.
 
-Functional analogue of hypre's GMRES (``krylov/gmres.c``): left-preconditioned
-(hypre's loop computes w = precond(A v)), restart length ``k_dim``, Givens-
-rotation least-squares update, residual recomputed from scratch at each
-restart so the convergence decision is made on a true residual.
-
-TPU-specific design: instead of modified Gram-Schmidt's j sequential inner
-products per step (j round-trip reductions — latency-bound on any parallel
-machine, which is why hypre grew COGMRES, ``krylov/cogmres.c``), we
-orthogonalize with *classical Gram-Schmidt applied twice* (CGS2): two
-(k+1, n) x (n,) matvecs against the stored basis per step. CGS2 has MGS-grade
-numerical robustness and maps the whole orthogonalization onto the MXU with
-exactly two reductions per step — this is hypre's own communication-reducing
-COGMRES idea, adopted here as the default.
+Analogue of hypre's FlexGMRES (``krylov/flexgmres.c``): right-preconditioned,
+storing the preconditioned vectors Z[j] = M_j(V[j]) so the preconditioner may
+change between steps (e.g. an inner iterative solve). Orthogonalization is
+CGS2 like ``gmres.py``; the residual estimate is in the unpreconditioned
+two-norm since the preconditioner acts on the right.
 """
 
 from __future__ import annotations
@@ -24,10 +16,10 @@ import jax.numpy as jnp
 
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.krylov.base import LinearOp, identity_precond
-from hypre_tpu.seq.vector import dot, norm2
+from hypre_tpu.seq.vector import norm2
 
 
-def gmres(
+def flexgmres(
     A: LinearOp,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
@@ -36,33 +28,31 @@ def gmres(
     atol: float = 0.0,
     maxiter: int = 1000,
     k_dim: int = 30,
-    gs_passes: int = 2,
 ) -> tuple[jax.Array, ConvergenceInfo]:
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
     n = b.shape[0]
     dtype = b.dtype
 
-    z_b = M(b)
-    den = norm2(z_b)
+    den = norm2(b)
     tol = jnp.maximum(rtol * den, atol)
 
     def arnoldi_step(j, carry):
-        V, R, cs, sn, g, m, active = carry
-        w = M(A(V[j]))
-        # CGS2: project against rows 0..j (static-shape masked matvecs)
+        V, Z, R, cs, sn, g, m, active = carry
+        z = M(V[j])
+        Z = Z.at[j].set(z)
+        w = A(z)
         row_mask = (jnp.arange(V.shape[0]) <= j).astype(dtype)
         h1 = (V @ w) * row_mask
         w = w - h1 @ V
-        h = h1
-        if gs_passes >= 2:
-            h2 = (V @ w) * row_mask
-            w = w - h2 @ V
-            h = h1 + h2
+        h2 = (V @ w) * row_mask
+        w = w - h2 @ V
+        h = h1 + h2
         h_next = norm2(w)
-        V = V.at[j + 1].set(jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0), 0))
+        V = V.at[j + 1].set(
+            jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0), 0)
+        )
 
-        # apply previous Givens rotations to the new column
         def rot(i, hv):
             hi, hi1 = hv[i], hv[i + 1]
             applied = i < j
@@ -85,49 +75,44 @@ def gmres(
         res_est = jnp.abs(g_new[j + 1])
 
         V_out = jnp.where(active, V, carry[0])
+        Z_out = jnp.where(active, Z, carry[1])
         R_out = jnp.where(active, R.at[:, j].set(hcol[: R.shape[0]]), R)
         cs_out = jnp.where(active, cs.at[j].set(c_new), cs)
         sn_out = jnp.where(active, sn.at[j].set(s_new), sn)
         g_out = jnp.where(active, g_new, g)
         m_out = jnp.where(active, j + 1, m)
-        # stop extending the basis once converged or on lucky breakdown
         active_out = active & (res_est > tol) & (h_next > 0)
-        return (V_out, R_out, cs_out, sn_out, g_out, m_out, active_out)
+        return (V_out, Z_out, R_out, cs_out, sn_out, g_out, m_out, active_out)
 
     def restart_cycle(state):
-        x, r_norm, it, _ = state
+        x, _, it, _ = state
         r = b - A(x)
-        z = M(r)
-        beta = norm2(z)
+        beta = norm2(r)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
-        V = jnp.zeros((k_dim + 1, n), dtype).at[0].set(z / safe_beta)
+        V = jnp.zeros((k_dim + 1, n), dtype).at[0].set(r / safe_beta)
+        Z = jnp.zeros((k_dim, n), dtype)
         R = jnp.zeros((k_dim + 1, k_dim), dtype)
         cs = jnp.zeros(k_dim, dtype)
         sn = jnp.zeros(k_dim, dtype)
         g = jnp.zeros(k_dim + 1, dtype).at[0].set(beta)
-        m0 = jnp.int32(0)
-        carry = (V, R, cs, sn, g, m0, beta > tol)
-        V, R, cs, sn, g, m, _ = jax.lax.fori_loop(0, k_dim, arnoldi_step, carry)
+        carry = (V, Z, R, cs, sn, g, jnp.int32(0), beta > tol)
+        V, Z, R, cs, sn, g, m, _ = jax.lax.fori_loop(0, k_dim, arnoldi_step, carry)
 
-        # masked upper-triangular solve R[:m,:m] y = g[:m]
         cols = jnp.arange(k_dim)
         diag_fix = jnp.where(cols >= m, 1.0, 0.0).astype(dtype)
         Rhat = R[:k_dim, :] + jnp.diag(diag_fix)
         ghat = jnp.where(cols < m, g[:k_dim], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rhat, ghat, lower=False)
-        x = x + y @ V[:k_dim]
+        x = x + y @ Z  # flexible update through the stored Z basis
 
-        # true preconditioned residual decides convergence (hypre gmres.c
-        # "check for convergence by evaluating the actual residual")
-        r = b - A(x)
-        r_norm_true = norm2(M(r))
+        r_norm_true = norm2(b - A(x))
         return (x, r_norm_true, it + m, r_norm_true <= tol)
 
     def cond(state):
         _, r_norm, it, converged = state
         return (~converged) & (it < maxiter) & jnp.isfinite(r_norm)
 
-    r0_norm = norm2(M(b - A(x)))
+    r0_norm = norm2(b - A(x))
     state = (x, r0_norm, jnp.int32(0), r0_norm <= tol)
     x, r_norm, iters, converged = jax.lax.while_loop(cond, restart_cycle, state)
 

@@ -38,7 +38,11 @@ def pcg(
     atol: float = 0.0,
     maxiter: int = 1000,
     two_norm: bool = True,
+    cf_tol: float = 0.0,
 ) -> tuple[jax.Array, ConvergenceInfo]:
+    """cf_tol > 0 enables hypre's slow-convergence cutoff (pcg.h:76-105):
+    stop when the smoothed convergence factor ||r_i||/||r_{i-1}|| exceeds
+    cf_tol — the signal the Hybrid driver uses to switch to AMG."""
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
 
@@ -54,7 +58,7 @@ def pcg(
         return (i_prod > eps) & (it < maxiter) & ok
 
     def body(state):
-        x, r, p, gamma, _, it, _ = state
+        x, r, p, gamma, i_prod_prev, it, _ = state
         s = A(p)
         sdotp = dot(s, p)
         alpha = gamma / sdotp
@@ -64,6 +68,9 @@ def pcg(
         gamma_new = dot(r, z)
         i_prod = dot(r, r) if two_norm else gamma_new
         ok = jnp.isfinite(i_prod) & (sdotp != 0)
+        if cf_tol > 0.0:
+            cf = jnp.sqrt(i_prod / jnp.where(i_prod_prev > 0, i_prod_prev, 1.0))
+            ok = ok & ((it < 1) | (cf < cf_tol))
         beta = gamma_new / gamma
         p = z + beta * p
         return (x, r, p, gamma_new, i_prod, it + 1, ok)

@@ -136,3 +136,8 @@ def rotated_anisotropy_2d(nx: int, ny: int, eps: float = 0.001, theta_deg: float
         -cxy / 2,
     ]
     return stencil_to_ell((nx, ny), offsets, coeffs, dtype)
+
+
+def laplacian_1d(n: int, dtype=None) -> EllMatrix:
+    """-u'' on n points, 3-point stencil (the 1-D driver problem)."""
+    return stencil_to_ell((n,), [(0,), (-1,), (1,)], [2.0, -1.0, -1.0], dtype)

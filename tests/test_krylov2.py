@@ -1,0 +1,136 @@
+"""Tests for the second Krylov wave: FlexGMRES, LGMRES, COGMRES, CGNR,
+LOBPCG, and the Hybrid driver (TEST_ij solver-id coverage 16/17, 50/51,
+60/61, 5/6, 20, LOBPCG cases)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu import laplacian_2d_5pt
+from hypre_tpu.amg.hybrid import HybridSolver
+from hypre_tpu.krylov import (
+    block_op,
+    cgnr,
+    cogmres,
+    flexgmres,
+    lgmres,
+    lobpcg,
+    pcg,
+)
+from hypre_tpu.seq.ell import ell_from_dense, ell_spmv, ell_spmv_t
+
+
+def _laplacian_op(n=16):
+    A = laplacian_2d_5pt(n, n)
+    return A, lambda v: ell_spmv(A, v)
+
+
+def _nonsym_system(n=80, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n)) * 0.3
+    M += np.diag(np.abs(M).sum(axis=1) + 1.0)  # diagonally dominant, nonsym
+    A = ell_from_dense(M)
+    b = jnp.asarray(rng.standard_normal(n))
+    return M, A, b
+
+
+@pytest.mark.parametrize("solver", [flexgmres, lgmres, cogmres])
+def test_gmres_variants_nonsymmetric(solver):
+    M, A, b = _nonsym_system()
+    x, info = solver(lambda v: ell_spmv(A, v), b, rtol=1e-10, maxiter=300)
+    assert bool(info.converged), f"{solver.__module__}: {info}"
+    np.testing.assert_allclose(M @ np.asarray(x), np.asarray(b), rtol=0, atol=1e-7)
+
+
+def test_flexgmres_variable_preconditioner():
+    A, op = _laplacian_op(12)
+    dinv = 1.0 / A.diagonal()
+    # deliberately iteration-varying preconditioner: flexgmres must still
+    # converge where standard gmres's theory breaks
+    count = [0]
+
+    def M(r):
+        count[0] += 1
+        return dinv * r * (1.0 + 0.1 * (count[0] % 3))
+
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = flexgmres(op, b, M=M, rtol=1e-8, maxiter=200)
+    r = b - op(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+
+
+def test_lgmres_beats_gmres_budget():
+    M, A, b = _nonsym_system(n=120, seed=3)
+    x, info = lgmres(
+        lambda v: ell_spmv(A, v), b, rtol=1e-8, maxiter=400, k_dim=10, aug_dim=2
+    )
+    assert bool(info.converged)
+
+
+def test_cgnr_nonsymmetric():
+    M, A, b = _nonsym_system(n=60, seed=5)
+    op = lambda v: ell_spmv(A, v)
+    opt = lambda v: ell_spmv_t(A, v)
+    x, info = cgnr(op, opt, b, rtol=1e-8, maxiter=2000)
+    assert bool(info.converged)
+    np.testing.assert_allclose(M @ np.asarray(x), np.asarray(b), rtol=0, atol=1e-5)
+
+
+def test_pcg_cf_tol_cuts_slow_convergence():
+    A, op = _laplacian_op(24)  # plain CG on a 24x24 Laplacian is slow
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(op, b, rtol=1e-12, maxiter=1000, cf_tol=0.5)
+    # cf of unpreconditioned CG here is ~0.8+ so the cutoff must trip early
+    assert not bool(info.converged)
+    assert int(info.iterations) < 50
+
+
+def test_hybrid_escalates_to_amg():
+    A = laplacian_2d_5pt(48, 48)
+    b = jnp.ones(A.n_rows, A.dtype)
+    hy = HybridSolver(cf_tol=0.5, dscg_max_iter=500).setup(A)
+    x, info = hy.solve(b, rtol=1e-8)
+    assert bool(info.converged)
+    assert hy.amg_iterations > 0, "expected escalation to AMG"
+    r = b - ell_spmv(A, x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-7
+
+
+def test_hybrid_stays_diagonal_when_easy():
+    # well-conditioned system: DSCG converges fast, no AMG setup needed
+    n = 64
+    rng = np.random.default_rng(7)
+    M = np.diag(rng.random(n) + 1.0)
+    A = ell_from_dense(M)
+    b = jnp.asarray(rng.standard_normal(n))
+    hy = HybridSolver(cf_tol=0.9).setup(A)
+    x, info = hy.solve(b, rtol=1e-10)
+    assert bool(info.converged)
+    assert hy.amg_iterations == 0
+
+
+def test_lobpcg_laplacian_lowest_modes():
+    # 1-D Laplacian: eigenvalues 2 - 2 cos(k pi / (n+1)) known exactly
+    n, m = 64, 4
+    from hypre_tpu.problems.laplacian import laplacian_1d
+
+    A = laplacian_1d(n)
+    op = block_op(lambda v: ell_spmv(A, v))
+    X0 = jnp.asarray(np.random.default_rng(11).standard_normal((n, m)))
+    lam, X, rn = lobpcg(op, X0, tol=1e-8, maxiter=300)
+    k = np.arange(1, m + 1)
+    want = 2.0 - 2.0 * np.cos(k * np.pi / (n + 1))
+    np.testing.assert_allclose(np.sort(np.asarray(lam)), want, rtol=1e-6)
+
+
+def test_lobpcg_with_preconditioner_converges_faster():
+    n, m = 100, 2
+    rng = np.random.default_rng(13)
+    d = np.linspace(1.0, 500.0, n)
+    A_dense = np.diag(d)
+    A = ell_from_dense(A_dense)
+    op = block_op(lambda v: ell_spmv(A, v))
+    T = block_op(lambda v: v / jnp.asarray(d))
+    X0 = jnp.asarray(rng.standard_normal((n, m)))
+    lam, X, rn = lobpcg(op, X0, T=T, tol=1e-8, maxiter=200)
+    np.testing.assert_allclose(np.sort(np.asarray(lam)), d[:m], rtol=1e-5)
