@@ -1,0 +1,105 @@
+"""ILU(0) with fine-grained parallel factorization and iterative solves.
+
+hypre's ILU family (``parcsr_ls/par_ilu_setup.c``, GPU triangular solves at
+``par_ilu_solve.c``) hits the same wall every accelerator does: exact
+triangular factorization and solves are sequential. The TPU answer is the
+same one hypre uses on GPUs, taken to its fixed-point form:
+
+- *factorization*: Chow-Patel fine-grained ILU — iterate the ILU fixed-point
+  equations over all nonzeros simultaneously; each sweep is a fully
+  vectorized gather/multiply/reduce on the static ELL pattern
+  (level-0 fill, i.e. ILU(0)).
+- *application*: Jacobi-iteration triangular solves (hypre's
+  ``iterative_setup_type``/GPU path): y ~= (I+L)^{-1} r via m sweeps of
+  y <- r - L y, then x ~= U^{-1} y via x <- D^{-1}(y - U' x).
+
+Both pieces are embarrassingly parallel with tunable accuracy — the
+preconditioner quality matches exact ILU(0) as sweeps grow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hypre_tpu.seq.ell import EllMatrix, ell_spmv
+
+
+@dataclasses.dataclass
+class ILU:
+    """HYPRE_ILU* object protocol (HYPRE_parcsr_ls.h, ilu_type 0 = ILU(0))."""
+
+    factor_sweeps: int = 5
+    solve_sweeps: int = 6
+
+    L: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    U: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    dinv: Optional[jax.Array] = dataclasses.field(default=None, repr=False)
+
+    def setup(self, A: EllMatrix) -> "ILU":
+        n, k = A.cols.shape
+        cols = A.cols
+        row_ids = jnp.arange(n, dtype=cols.dtype)[:, None]
+        is_l = (cols >= 0) & (cols < row_ids)
+        is_u = (cols >= 0) & (cols >= row_ids)
+        rsafe = jnp.maximum(cols, 0)
+
+        def sweep(F, _):
+            # neighbor-row factor values/cols: nv[i,a,s] = F[c_a, s]
+            nv = F[rsafe]          # (n, k, k)
+            nc = cols[rsafe]       # (n, k, k)
+            # U(c_a, c_b): entries of row c_a with col >= c_a
+            u_mask = nc >= rsafe[:, :, None]
+            uv = jnp.where(u_mask & (nc >= 0), nv, 0.0)
+            # match nc[i,a,s] == c_b  -> (n, a, b)
+            Uab = jnp.einsum(
+                "nas,nabs->nab",
+                uv,
+                (nc[:, :, None, :] == cols[:, None, :, None]).astype(F.dtype),
+            )
+            # L(i, c_a) and the k-range constraint k = c_a < j = c_b
+            Lia = jnp.where(is_l, F, 0.0)
+            ab_order = (cols[:, :, None] < cols[:, None, :]).astype(F.dtype)
+            S = jnp.einsum("na,nab,nab->nb", Lia, Uab, ab_order)
+            # diagonal of U: F at (j, j)
+            dU = jnp.sum(jnp.where(cols == row_ids, F, 0.0), axis=1)
+            dU = jnp.where(dU != 0, dU, 1.0)
+            newU = A.vals - S
+            newL = (A.vals - S) / dU[jnp.maximum(cols, 0)]
+            F = jnp.where(is_u, newU, jnp.where(is_l, newL, 0.0))
+            return F, None
+
+        F = jnp.where((cols >= 0), A.vals, 0.0)
+        F, _ = jax.lax.scan(sweep, F, None, length=self.factor_sweeps)
+
+        lvals = jnp.where(is_l, F, 0.0)
+        lcols = jnp.where(is_l, cols, -1)
+        uvals = jnp.where(is_u, F, 0.0)
+        ucols = jnp.where(is_u, cols, -1)
+        diag = jnp.sum(jnp.where(cols == row_ids, F, 0.0), axis=1)
+        self.L = EllMatrix(vals=lvals, cols=lcols, n_cols=A.n_cols)
+        # U without its diagonal (applied separately via dinv)
+        uvals_off = jnp.where(cols == row_ids, 0.0, uvals)
+        self.U = EllMatrix(vals=uvals_off, cols=ucols, n_cols=A.n_cols)
+        self.dinv = 1.0 / jnp.where(diag != 0, diag, 1.0)
+        return self
+
+    def precond(self):
+        """Apply M^{-1} ~= (LU)^{-1} with Jacobi-iteration triangular solves."""
+        L, U, dinv = self.L, self.U, self.dinv
+        assert L is not None, "call setup(A) first"
+        m = self.solve_sweeps
+
+        def M(r):
+            y = r
+            for _ in range(m):
+                y = r - ell_spmv(L, y)  # (I + L) y = r
+            x = dinv * y
+            for _ in range(m):
+                x = dinv * (y - ell_spmv(U, x))  # (D + U') x = y
+            return x
+
+        return M
