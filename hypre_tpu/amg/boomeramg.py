@@ -40,14 +40,18 @@ class BoomerAMG:
     max_coarse_size: int = 64
     p_max_elmts: int = 4
     trunc_factor: float = 0.0
-    interp: str = "ext+i"  # 'ext+i' | 'direct'
+    coarsen_type: str = "pmis"  # 'pmis' | 'cljp' | 'ruge' | 'falgout' | 'hmis'
+    interp: str = "ext+i"  # 'ext+i' | 'direct' | 'classical'
+    interp_jacobi_passes: int = 0  # par_jacobi_interp.c improvement passes
     # chebyshev(2) + ext+i reproduces hypre's golden AMG-PCG iteration counts
     # (7 iters on the 5-pt Laplacian, TEST_ij/solvers.saved:1-3) with only
     # SpMV+axpy work — the TPU-native default
-    relax: str = "chebyshev"  # 'jacobi' | 'l1-jacobi' | 'chebyshev'
+    # 'jacobi' | 'l1-jacobi' | 'chebyshev' | 'two-stage-gs' |
+    # 'sym-two-stage-gs' | 'kaczmarz'
+    relax: str = "chebyshev"
     relax_weight: float = 1.0
     num_sweeps: int = 1
-    cycle_type: int = 1  # 1=V, 2=W
+    cycle_type: int = 1  # 1=V, 2=W, 3=F
     cheby_order: int = 2
     cheby_ratio: float = 0.3
 
@@ -93,6 +97,8 @@ class BoomerAMG:
             trunc_factor=self.trunc_factor,
             interp=self.interp,
             relax=self.relax,
+            coarsen=self.coarsen_type,
+            interp_jacobi_passes=self.interp_jacobi_passes,
         )
 
     # -- solver interfaces ---------------------------------------------------

@@ -103,3 +103,149 @@ def coarse_map(cf: jax.Array) -> tuple[jax.Array, jax.Array]:
     is_c = cf == C_PT
     idx = jnp.cumsum(is_c.astype(jnp.int32)) - 1
     return jnp.where(is_c, idx, -1), jnp.sum(is_c.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# CLJP coarsening (hypre_BoomerAMGCoarsen, par_coarsen.c:93, types 0/7)
+# ---------------------------------------------------------------------------
+
+
+def cljp(A: EllMatrix, S: jax.Array, global_row_offset: int | jax.Array = 0) -> jax.Array:
+    """Cleary-Luby-Jones-Plassmann coarsening.
+
+    Same independent-set engine as PMIS but with CLJP's weight updates: when
+    a point is decided, the measures of its undecided strong neighbors are
+    decremented (each decided edge loses its 'vote'), and points whose
+    measure falls below 1 become F. Produces denser coarse grids than PMIS
+    (hypre's classical default via Falgout type 6 = RS interior + CLJP
+    boundary).
+    """
+    n, _ = A.cols.shape
+    rows_global = jnp.arange(n, dtype=jnp.int32) + global_row_offset
+    st_counts = strength_transpose_counts(A, S)
+    measure0 = st_counts.astype(A.dtype) + hash_rand01(rows_global).astype(A.dtype)
+
+    has_strong_row = jnp.any(S, axis=1)
+    isolated = ~has_strong_row & (st_counts == 0)
+    cols_c = jnp.maximum(A.cols, 0)
+    overflow = A.n_rows
+
+    def cond(state):
+        cf, _ = state
+        return jnp.any(cf == UNDECIDED)
+
+    def body(state):
+        cf, measure = state
+        undecided = cf == UNDECIDED
+        m = jnp.where(undecided, measure, 0.0)
+
+        nbr_vals = jnp.where(S, m[cols_c], 0.0)
+        row_nbr_max = jnp.max(nbr_vals, axis=1)
+        scatter_cols = jnp.where(S, A.cols, overflow).reshape(-1)
+        col_nbr_max = (
+            jnp.zeros(A.n_rows + 1, m.dtype)
+            .at[scatter_cols]
+            .max(jnp.broadcast_to(m[:, None], S.shape).reshape(-1))
+        )[:-1]
+        nbr_max = jnp.maximum(row_nbr_max, col_nbr_max)
+
+        new_c = undecided & (m > nbr_max) & (m > 0)
+        cf = jnp.where(new_c, C_PT, cf)
+
+        # CLJP weight update: every edge to a newly-decided C point loses its
+        # vote — decrement the measure of undecided points per such edge
+        newly_c = cf == C_PT  # includes this round's selections
+        dep_edges = S & newly_c[cols_c]  # i depends on a C point
+        dec_row = jnp.sum(dep_edges, axis=1).astype(measure.dtype)
+        # edges where a C point depends on undecided i: scatter from C rows
+        c_rows = newly_c[:, None] & S
+        dec_col = (
+            jnp.zeros(A.n_rows + 1, measure.dtype)
+            .at[jnp.where(c_rows, A.cols, overflow).reshape(-1)]
+            .add(jnp.ones_like(measure[0]) * c_rows.reshape(-1))
+        )[:-1]
+        measure = jnp.where(undecided & ~new_c, measure0 - dec_row - dec_col, measure)
+
+        # measures below 1 can no longer be selected: finalize as F
+        cf = jnp.where((cf == UNDECIDED) & (measure < 1.0), F_PT, cf)
+        cf = jnp.where((cf == UNDECIDED) & isolated, F_PT, cf)
+        stalled = jnp.all(cf == state[0])
+        cf = jnp.where(stalled & (cf == UNDECIDED), C_PT, cf)
+        return (cf, measure)
+
+    cf0 = jnp.where(isolated, F_PT, UNDECIDED).astype(jnp.int32)
+    cf, _ = jax.lax.while_loop(cond, body, (cf0, measure0))
+    return cf
+
+
+# ---------------------------------------------------------------------------
+# Ruge-Stüben first pass + HMIS (par_coarsen.c:908, 2846; host-side)
+# ---------------------------------------------------------------------------
+
+
+def ruge_stuben(A: EllMatrix, S: jax.Array) -> jax.Array:
+    """Classical RS first-pass coarsening (hypre_BoomerAMGCoarsenRuge,
+    par_coarsen.c:908, coarsen_type 1 'cheap RS').
+
+    Inherently sequential (greedy max-measure selection with neighbor
+    updates), so it runs on host numpy at setup time — the TPU design keeps
+    irregular setup on host (SURVEY §7); PMIS/CLJP remain the device-native
+    defaults. Returns a device CF marker.
+    """
+    import numpy as np
+
+    Sh = np.asarray(S)
+    cols = np.asarray(A.cols)
+    n, k = cols.shape
+    # build adjacency lists: S_i (depends on) and S^T_i (depended on by)
+    dep = [cols[i][Sh[i]].tolist() for i in range(n)]
+    inf = [[] for _ in range(n)]
+    for i in range(n):
+        for j in dep[i]:
+            inf[j].append(i)
+    measure = np.array([len(inf[i]) for i in range(n)], dtype=np.int64)
+    cf = np.zeros(n, dtype=np.int32)
+    # bucket queue over integer measures
+    import heapq
+
+    heap = [(-measure[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    decided = 0
+    while heap:
+        negm, i = heapq.heappop(heap)
+        if cf[i] != UNDECIDED or -negm != measure[i]:
+            continue  # stale entry
+        if measure[i] <= 0:
+            cf[i] = F_PT
+            continue
+        cf[i] = C_PT
+        # neighbors that depend on i become F; their dependencies gain weight
+        for j in inf[i]:
+            if cf[j] == UNDECIDED:
+                cf[j] = F_PT
+                for l in dep[j]:
+                    if cf[l] == UNDECIDED:
+                        measure[l] += 1
+                        heapq.heappush(heap, (-measure[l], l))
+        for j in dep[i]:
+            if cf[j] == UNDECIDED:
+                measure[j] -= 1
+                heapq.heappush(heap, (-measure[j], j))
+    cf[cf == UNDECIDED] = F_PT
+    return jnp.asarray(cf)
+
+
+def hmis(A: EllMatrix, S: jax.Array, global_row_offset: int | jax.Array = 0) -> jax.Array:
+    """HMIS coarsening (par_coarsen.c:2846, type 10): RS first pass on the
+    shard interior, PMIS to reconcile across shards. On a single shard this
+    reduces to the RS pass plus a PMIS cleanup of any F point left without a
+    strong C dependency."""
+    cf = ruge_stuben(A, S)
+    cols_c = jnp.maximum(A.cols, 0)
+    # F points with no strong C neighbor cannot interpolate: rerun PMIS on them
+    dep_on_c = jnp.any(S & (cf[cols_c] == C_PT), axis=1)
+    has_strong = jnp.any(S, axis=1)
+    bad = (cf == F_PT) & has_strong & ~dep_on_c
+    if bool(jnp.any(bad)):
+        cf = jnp.where(bad, C_PT, cf)
+    return cf

@@ -16,15 +16,20 @@ TPU-idiomatic one promised in SURVEY.md §7:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
 
-from hypre_tpu.amg.coarsen import pmis, coarse_map
-from hypre_tpu.amg.interp import direct_interp, ext_plus_i_interp, truncate_interp
+from hypre_tpu.amg.coarsen import cljp, coarse_map, hmis, pmis, ruge_stuben
+from hypre_tpu.amg.interp import (
+    classical_interp, direct_interp, ext_plus_i_interp, jacobi_improve_interp,
+    truncate_interp,
+)
 from hypre_tpu.amg.relax import (
-    chebyshev, jacobi, l1_jacobi, l1_norms, max_eig_estimate,
+    chebyshev, jacobi, kaczmarz, l1_jacobi, l1_norms, max_eig_estimate,
+    row_norms_sq_inv, sym_two_stage_gs, two_stage_gs,
 )
 from hypre_tpu.amg.strength import strength_mask
 from hypre_tpu.seq.ell import EllMatrix
@@ -74,20 +79,41 @@ def setup_hierarchy(
     interp: str = "ext+i",
     relax: str = "chebyshev",
     coarsen_rtol: float = 0.9,
+    coarsen: str = "pmis",
+    interp_jacobi_passes: int = 0,
 ) -> AMGHierarchy:
-    """Build the multigrid hierarchy (BoomerAMG setup phase)."""
+    """Build the multigrid hierarchy (BoomerAMG setup phase).
+
+    coarsen: 'pmis' (8) | 'cljp' (0) | 'ruge' (1) | 'hmis' (10) | 'falgout'
+    (6; single-shard Falgout = RS everywhere, so it maps to 'ruge' here —
+    the CLJP boundary pass is a no-op without shard boundaries).
+    """
     need_cheby = relax == "chebyshev"
     levels: List[Level] = []
 
+    coarsen_fns = {
+        "pmis": pmis,
+        "cljp": cljp,
+        "ruge": lambda A_, S_: ruge_stuben(A_, S_),
+        "falgout": lambda A_, S_: ruge_stuben(A_, S_),
+        "hmis": hmis,
+    }
+    if coarsen not in coarsen_fns:
+        raise ValueError(f"unknown coarsen type: {coarsen!r}")
+    device_coarsen = coarsen in ("pmis", "cljp")
+
+    @partial(jax.jit, static_argnames=())
+    def strength(A_lev: EllMatrix):
+        return strength_mask(A_lev, strength_threshold)
+
     @jax.jit
-    def analyze(A_lev: EllMatrix):
-        S = strength_mask(A_lev, strength_threshold)
-        cf = pmis(A_lev, S)
-        cmap, n_c = coarse_map(cf)
-        return S, cf, cmap, n_c
+    def number(cf):
+        return coarse_map(cf)
 
     while len(levels) < max_levels - 1 and A.n_rows > max_coarse_size:
-        S, cf, cmap, n_c = analyze(A)
+        S = strength(A)
+        cf = coarsen_fns[coarsen](A, S)
+        cmap, n_c = number(cf)
         n_coarse = int(n_c)
         if n_coarse == 0 or n_coarse >= coarsen_rtol * A.n_rows:
             break  # coarsening stalled (par_amg_setup.c stops similarly)
@@ -95,8 +121,15 @@ def setup_hierarchy(
             P = ext_plus_i_interp(A, S, cf, cmap, n_coarse)
         elif interp == "direct":
             P = direct_interp(A, S, cf, cmap, n_coarse)
+        elif interp == "classical":
+            P = classical_interp(A, S, cf, cmap, n_coarse)
         else:
             raise ValueError(f"unknown interp type: {interp!r}")
+        if interp_jacobi_passes > 0:
+            P = jacobi_improve_interp(
+                A, P, cf, passes=interp_jacobi_passes,
+                max_elmts=p_max_elmts, trunc_factor=trunc_factor,
+            )
         P = truncate_interp(P, max_elmts=p_max_elmts, trunc_factor=trunc_factor)
         Pt = ell_transpose(P)
         AP = ell_spgemm(A, P)
@@ -131,6 +164,14 @@ def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio
         return lambda lev, u, f: chebyshev(
             lev.A, lev.dinv, lev.lmax, u, f, order=cheby_order, eig_ratio=cheby_ratio
         )
+    if relax == "two-stage-gs":
+        return lambda lev, u, f: two_stage_gs(lev.A, lev.dinv, u, f)
+    if relax == "sym-two-stage-gs":
+        return lambda lev, u, f: sym_two_stage_gs(lev.A, lev.dinv, u, f)
+    if relax == "kaczmarz":
+        return lambda lev, u, f: kaczmarz(
+            lev.A, row_norms_sq_inv(lev.A), u, f, relax_weight
+        )
     raise ValueError(f"unknown relax type: {relax!r}")
 
 
@@ -142,13 +183,14 @@ def amg_cycle(
     num_sweeps: int = 1,
     cycle_type: int = 1,
 ) -> jax.Array:
-    """One multigrid cycle (V for cycle_type=1, W for 2; par_cycle.c:23).
+    """One multigrid cycle (V for cycle_type=1, W for 2, F for 3;
+    par_cycle.c:23, fcycle flag).
 
     Python recursion over the static level list — unrolls at trace time.
     """
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
 
-    def descend(level: int, f: jax.Array, u: jax.Array) -> jax.Array:
+    def descend(level: int, f: jax.Array, u: jax.Array, ctype: int) -> jax.Array:
         if level == len(hier.levels):
             return hier.coarse_inv @ f
         lev = hier.levels[level]
@@ -157,9 +199,15 @@ def amg_cycle(
         r = f - lev.A.mv(u)
         rc = lev.Pt.mv(r)
         ec = jnp.zeros(lev.Pt.vec_len_rows, f.dtype)
-        visits = cycle_type if level < len(hier.levels) - 1 else 1
-        for _ in range(max(visits, 1)):
-            ec = descend(level + 1, rc, ec)
+        last = level >= len(hier.levels) - 1
+        if ctype == 3 and not last:
+            # F-cycle: one recursive F-visit, then a V-visit (FMG recursion)
+            ec = descend(level + 1, rc, ec, 3)
+            ec = descend(level + 1, rc, ec, 1)
+        else:
+            visits = 1 if (last or ctype == 3) else max(ctype, 1)
+            for _ in range(visits):
+                ec = descend(level + 1, rc, ec, ctype if ctype != 3 else 1)
         u = u + lev.P.mv(ec)
         for _ in range(num_sweeps):
             u = smoother(lev, u, f)
@@ -167,4 +215,4 @@ def amg_cycle(
 
     if u is None:
         u = jnp.zeros_like(f)
-    return descend(0, f, u)
+    return descend(0, f, u, cycle_type)

@@ -236,3 +236,157 @@ def truncate_interp(P: EllMatrix, max_elmts: int = 0, trunc_factor: float = 0.0)
     new_sum = Pt.row_sums()
     scale = jnp.where(new_sum != 0, old_sum / jnp.where(new_sum != 0, new_sum, 1.0), 1.0)
     return Pt.scale_rows(scale)
+
+
+# ---------------------------------------------------------------------------
+# Classical (common-C) interpolation — hypre_BoomerAMGBuildInterp
+# ---------------------------------------------------------------------------
+
+
+def _classical_block(A: EllMatrix, S, cf, a_hat, diag, lo: int, blk: int, out_k: int):
+    """Classical modified interpolation for rows [lo, lo+blk):
+
+        w_ij = -( a_ij + sum_{k in F_i^s} a_ik â_kj / denom_k ) / d_i
+        denom_k = sum_{m in C_i^s, â_km != 0} â_km     (common-C distribution)
+        d_i = a_ii + sum_{weak n} a_in + sum_{k in F_i^s, denom_k=0} a_ik
+
+    (par_interp.c:15; strong-F rows with no common C are lumped onto the
+    diagonal, hypre's modified-classical convention).
+    """
+    n, k = A.cols.shape
+    rows = lo + jnp.arange(blk, dtype=jnp.int32)
+    cols_b = jax.lax.dynamic_slice_in_dim(A.cols, lo, blk, 0)
+    vals_b = jax.lax.dynamic_slice_in_dim(A.vals, lo, blk, 0)
+    S_b = jax.lax.dynamic_slice_in_dim(S, lo, blk, 0)
+    cols_c = jnp.maximum(cols_b, 0)
+
+    is_c_col = cf[cols_c] == C_PT
+    strongC = S_b & is_c_col  # (blk, k)
+    strongF = S_b & ~is_c_col
+
+    nb_cols = jnp.maximum(A.cols, 0)[cols_c]  # (blk, k, k)
+    nb_ahat = a_hat[cols_c]
+
+    # membership: is nb_cols[b,a,s] one of row b's strong-C columns?
+    in_Ci = jnp.any(
+        (nb_cols[:, :, None, :] == cols_c[:, None, :, None])
+        & strongC[:, None, :, None],
+        axis=2,
+    )  # (blk, a, s)
+    denom = jnp.sum(jnp.where(in_Ci, nb_ahat, 0.0), axis=2)  # (blk, a)
+    usable_F = strongF & (denom != 0)
+    denom_safe = jnp.where(denom != 0, denom, 1.0)
+
+    diag_b = diag[rows]
+    weak = (cols_b >= 0) & (cols_b != rows[:, None]) & ~S_b
+    d_eff = (
+        diag_b
+        + jnp.sum(jnp.where(weak, vals_b, 0), axis=1)
+        + jnp.sum(jnp.where(strongF & (denom == 0), vals_b, 0), axis=1)
+    )
+
+    cand1_cols = jnp.where(strongC, cols_b, PAD_COL)
+    cand1_vals = jnp.where(strongC, vals_b, 0.0)
+    through = usable_F[:, :, None] & in_Ci
+    w2 = jnp.where(through, vals_b[:, :, None] * nb_ahat / denom_safe[:, :, None], 0.0)
+    cand2_cols = jnp.where(through, nb_cols, PAD_COL)
+    from hypre_tpu.seq.spgemm import _merge_rows
+
+    mc, mv, req = _merge_rows(
+        jnp.concatenate([cand1_cols, cand2_cols.reshape(blk, -1)], axis=1),
+        jnp.concatenate([cand1_vals, w2.reshape(blk, -1)], axis=1),
+        out_k,
+    )
+    d_safe = jnp.where(d_eff != 0, d_eff, 1.0)
+    w = -mv / d_safe[:, None]
+    cf_b = cf[rows]
+    is_f = (cf_b != C_PT)[:, None]
+    w = jnp.where(is_f, w, 0.0)
+    mc = jnp.where(is_f, mc, PAD_COL)
+    own = jnp.where(cf_b == C_PT, rows, PAD_COL)[:, None]
+    ones = jnp.where(cf_b == C_PT, 1.0, 0.0).astype(A.dtype)[:, None]
+    return (
+        jnp.concatenate([mc, own], axis=1),
+        jnp.concatenate([w, ones], axis=1),
+        req,
+    )
+
+
+def classical_interp(
+    A: EllMatrix,
+    S: jax.Array,
+    cf: jax.Array,
+    cmap: jax.Array,
+    n_coarse: int,
+    out_k: int | None = None,
+    row_block: int = 131072,
+) -> EllMatrix:
+    """hypre_BoomerAMGBuildInterp (par_interp.c:15) — distance-1 classical
+    interpolation with common-C distribution of strong-F mass."""
+    n, k = A.cols.shape
+    diag = A.diagonal()
+    sgn = jnp.where(diag >= 0, 1.0, -1.0).astype(A.dtype)
+    a_hat = jnp.where(A.vals * sgn[:, None] < 0, A.vals, 0.0)
+    if out_k is None:
+        out_k = min(max(2 * k, 8), 64)
+
+    block_fn = jax.jit(_classical_block, static_argnums=(5, 6, 7))
+
+    def run(out_k: int):
+        if n <= row_block:
+            mc, mv, req = block_fn(A, S, cf, a_hat, diag, 0, n, out_k)
+            return mc, mv, int(req)
+        mcs, mvs, req_max = [], [], 0
+        lo = 0
+        while lo < n:
+            blk = min(row_block, n - lo)
+            mc, mv, req = block_fn(A, S, cf, a_hat, diag, lo, blk, out_k)
+            mcs.append(mc)
+            mvs.append(mv)
+            req_max = max(req_max, int(req))
+            lo += blk
+        return jnp.concatenate(mcs, 0), jnp.concatenate(mvs, 0), req_max
+
+    mc, mv, req = run(out_k)
+    if req > out_k:
+        mc, mv, _ = run(req)
+    P = EllMatrix(vals=mv, cols=mc, n_cols=n)
+    fine_to_coarse = jnp.where(cf == C_PT, cmap, -1).astype(jnp.int32)
+    P = ell_remap_cols(P, fine_to_coarse, int(n_coarse))
+    P = ell_filter(P, P.structural_mask())
+    width = int(jnp.max(jnp.sum(P.structural_mask(), axis=1)))
+    return EllMatrix(vals=P.vals[:, : max(width, 1)], cols=P.cols[:, : max(width, 1)], n_cols=P.n_cols)
+
+
+# ---------------------------------------------------------------------------
+# Jacobi interpolation improvement — hypre_BoomerAMGJacobiInterp
+# ---------------------------------------------------------------------------
+
+
+def jacobi_improve_interp(
+    A: EllMatrix,
+    P: EllMatrix,
+    cf: jax.Array,
+    weight: float = 1.0,
+    passes: int = 1,
+    max_elmts: int = 0,
+    trunc_factor: float = 0.0,
+) -> EllMatrix:
+    """One or more weighted-Jacobi smoothing passes on P's F-rows
+    (par_jacobi_interp.c): P <- P - w D_F^{-1} (A P)|_F, followed by
+    re-truncation. Improves energy of the interpolation for hard problems
+    at the cost of denser P."""
+    from hypre_tpu.seq.spgemm import ell_spgemm
+
+    diag = A.diagonal()
+    dinv = jnp.where(diag != 0, weight / jnp.where(diag != 0, diag, 1.0), 0.0)
+    is_f = (cf != C_PT).astype(A.dtype)
+    for _ in range(passes):
+        AP = ell_spgemm(A, P)
+        AP = AP.with_vals(AP.vals * (dinv * is_f)[:, None])
+        # P - AP on the union pattern
+        from hypre_tpu.seq.spgemm import ell_add
+
+        P = ell_add(1.0, P, -1.0, AP)
+        P = truncate_interp(P, max_elmts=max_elmts, trunc_factor=trunc_factor)
+    return P

@@ -95,3 +95,53 @@ def chebyshev(
 
     u, _, _ = jax.lax.fori_loop(0, order - 1, body, (u, d, rho))
     return u
+
+
+# ---------------------------------------------------------------------------
+# Two-stage Gauss-Seidel (par_relax.c relax types 11/12)
+# ---------------------------------------------------------------------------
+
+
+def lower_apply(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """L x with L = strict lower triangle of A (slot mask, no new matrix)."""
+    row_ids = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
+    mask = (A.cols >= 0) & (A.cols < row_ids)
+    gathered = jnp.take(x, jnp.maximum(A.cols, 0), axis=0)
+    return jnp.sum(jnp.where(mask, A.vals, 0.0) * gathered, axis=1)
+
+
+def upper_apply(A: EllMatrix, x: jax.Array) -> jax.Array:
+    row_ids = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
+    mask = (A.cols >= 0) & (A.cols > row_ids)
+    gathered = jnp.take(x, jnp.maximum(A.cols, 0), axis=0)
+    return jnp.sum(jnp.where(mask, A.vals, 0.0) * gathered, axis=1)
+
+
+def two_stage_gs(A: EllMatrix, dinv: jax.Array, u: jax.Array, f: jax.Array) -> jax.Array:
+    """Forward two-stage GS (relax 11): approximate (D+L)^{-1} by its first
+    two Neumann terms, z = D^{-1}r - D^{-1} L D^{-1} r — hypre's GPU-friendly
+    GS replacement (par_relax.c:125-131)."""
+    r = f - A.mv(u)
+    z0 = dinv * r
+    return u + z0 - dinv * lower_apply(A, z0)
+
+
+def sym_two_stage_gs(A: EllMatrix, dinv: jax.Array, u: jax.Array, f: jax.Array) -> jax.Array:
+    """Symmetric variant (relax 12): forward sweep then backward sweep."""
+    u = two_stage_gs(A, dinv, u, f)
+    r = f - A.mv(u)
+    z0 = dinv * r
+    return u + z0 - dinv * upper_apply(A, z0)
+
+
+def kaczmarz(A: EllMatrix, row_norm_inv: jax.Array, u: jax.Array, f: jax.Array, weight: float = 1.0) -> jax.Array:
+    """Simultaneous Kaczmarz / Cimmino sweep (relax 20, par_relax.c):
+    u += w A^T diag(1/||a_i||^2) (f - A u). Converges for any nonsingular A
+    (it is Richardson on the normal equations)."""
+    r = f - A.mv(u)
+    return u + weight * A.mv_t(row_norm_inv * r)
+
+
+def row_norms_sq_inv(A: EllMatrix) -> jax.Array:
+    s = jnp.sum(A.vals * A.vals, axis=1)
+    return 1.0 / jnp.where(s > 0, s, 1.0)

@@ -1,0 +1,104 @@
+"""AMG breadth tests: coarsening variants, interpolation variants, cycle
+types, smoother variants (the TEST_ij -cljp/-ruge/-hmis/-falgout and
+interp/relax flag coverage)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu import laplacian_2d_5pt, laplacian_3d_7pt
+from hypre_tpu.amg import BoomerAMG
+from hypre_tpu.amg.coarsen import C_PT, F_PT, cljp, hmis, pmis, ruge_stuben
+from hypre_tpu.amg.strength import strength_mask
+from hypre_tpu.krylov import pcg
+from hypre_tpu.seq.ell import ell_spmv
+
+
+def _amg_pcg_iters(A, **knobs):
+    amg = BoomerAMG(**knobs).setup(A)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8, maxiter=100)
+    assert bool(info.converged), f"{knobs}: {info}"
+    r = b - ell_spmv(A, x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+    return int(info.iterations)
+
+
+def _check_cf(A, cf_fn):
+    S = strength_mask(A, 0.25)
+    cf = cf_fn(A, S)
+    cf = np.asarray(cf)
+    assert set(np.unique(cf)) <= {C_PT, F_PT}
+    # every F point with strong connections must see a strong C neighbor
+    Sh = np.asarray(S)
+    cols = np.asarray(A.cols)
+    for i in np.nonzero((cf == F_PT) & Sh.any(axis=1))[0]:
+        nbrs = cols[i][Sh[i]]
+        assert (cf[nbrs] == C_PT).any(), f"F point {i} cannot interpolate"
+    frac = (cf == C_PT).mean()
+    assert 0.1 < frac < 0.75, f"coarse fraction {frac}"
+    return cf
+
+
+@pytest.mark.parametrize("fn", [pmis, cljp, ruge_stuben, hmis])
+def test_coarsening_validity(fn):
+    _check_cf(laplacian_2d_5pt(20, 20), fn)
+
+
+def test_cljp_denser_than_pmis():
+    A = laplacian_2d_5pt(24, 24)
+    S = strength_mask(A, 0.25)
+    c_cljp = float(jnp.mean((cljp(A, S) == C_PT) * 1.0))
+    c_pmis = float(jnp.mean((pmis(A, S) == C_PT) * 1.0))
+    assert c_cljp >= c_pmis - 0.05
+
+
+@pytest.mark.parametrize("coarsen", ["pmis", "cljp", "ruge", "hmis"])
+def test_amg_pcg_all_coarsenings(coarsen):
+    A = laplacian_2d_5pt(32, 32)
+    it = _amg_pcg_iters(A, coarsen_type=coarsen)
+    assert it <= 12, f"{coarsen}: {it} iterations"
+
+
+@pytest.mark.parametrize("interp", ["classical", "direct", "ext+i"])
+def test_amg_pcg_all_interps(interp):
+    A = laplacian_2d_5pt(32, 32)
+    it = _amg_pcg_iters(A, interp=interp, coarsen_type="ruge")
+    assert it <= 12, f"{interp}: {it} iterations"
+
+
+def test_fcycle_converges_faster_or_equal():
+    A = laplacian_3d_7pt(12, 12, 12)
+    it_v = _amg_pcg_iters(A, cycle_type=1)
+    it_f = _amg_pcg_iters(A, cycle_type=3)
+    assert it_f <= it_v + 1
+
+
+@pytest.mark.parametrize("relax", ["sym-two-stage-gs", "l1-jacobi"])
+def test_amg_smoothers_pcg(relax):
+    A = laplacian_2d_5pt(24, 24)
+    it = _amg_pcg_iters(A, relax=relax)
+    assert it <= 25, f"{relax}: {it}"
+
+
+@pytest.mark.parametrize("relax,weight", [("two-stage-gs", 1.0), ("kaczmarz", 0.5)])
+def test_amg_nonsymmetric_smoothers_gmres(relax, weight):
+    """Forward two-stage GS and Kaczmarz sweeps are not A-self-adjoint, so
+    the V-cycle is a nonsymmetric preconditioner — valid with GMRES (with
+    PCG they stall near tolerance, as in hypre when pairing one-sided
+    smoothing with CG)."""
+    from hypre_tpu.krylov import gmres
+
+    A = laplacian_2d_5pt(24, 24)
+    amg = BoomerAMG(relax=relax, relax_weight=weight, num_sweeps=2).setup(A)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = gmres(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8, maxiter=200)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 60
+
+
+def test_jacobi_interp_improvement():
+    A = laplacian_2d_5pt(32, 32)
+    it0 = _amg_pcg_iters(A, interp="direct")
+    it1 = _amg_pcg_iters(A, interp="direct", interp_jacobi_passes=1, p_max_elmts=8)
+    assert it1 <= it0 + 1
