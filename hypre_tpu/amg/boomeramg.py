@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.amg.hierarchy import (
-    AMGHierarchy, amg_cycle, make_smoother, setup_hierarchy,
+    AMGHierarchy, amg_cycle, make_smoother, optimize_hierarchy, setup_hierarchy,
 )
 from hypre_tpu.seq.ell import EllMatrix
 from hypre_tpu.seq.vector import dot
@@ -37,7 +37,10 @@ class BoomerAMG:
     # knob names follow HYPRE_BoomerAMGSet* setters
     strength_threshold: float = 0.25
     max_levels: int = 25
-    max_coarse_size: int = 64
+    # TPU note: deeper hierarchies cost one pallas-kernel compile per level;
+    # a dense direct solve handles a few thousand rows in microseconds on the
+    # MXU, so the coarse cutoff is much larger than hypre's CPU default
+    max_coarse_size: int = 1500
     p_max_elmts: int = 4
     trunc_factor: float = 0.0
     coarsen_type: str = "pmis"  # 'pmis' | 'cljp' | 'ruge' | 'falgout' | 'hmis'
@@ -52,12 +55,21 @@ class BoomerAMG:
     relax_weight: float = 1.0
     num_sweeps: int = 1
     cycle_type: int = 1  # 1=V, 2=W, 3=F
+    setup_backend: str = "auto"  # 'native' (csrc/) | 'jax' | 'auto'
+    # aggressive coarsening on the first N levels (hypre agg_num_levels,
+    # par_amg_setup.c:1193): two coarsening passes composed through P1*P2
+    agg_num_levels: int = 0
     cheby_order: int = 2
     cheby_ratio: float = 0.3
 
     hierarchy: Optional[AMGHierarchy] = dataclasses.field(default=None, repr=False)
 
-    def setup(self, A: EllMatrix, host_setup: bool | str = "auto") -> "BoomerAMG":
+    def setup(
+        self,
+        A: EllMatrix,
+        host_setup: bool | str = "auto",
+        optimize: bool | str = "auto",
+    ) -> "BoomerAMG":
         """Build the hierarchy.
 
         host_setup mirrors hypre's execution-policy split
@@ -73,15 +85,27 @@ class BoomerAMG:
                 host_setup = jax.default_backend() != "cpu" and bool(jax.devices("cpu"))
             except RuntimeError:
                 host_setup = False
+        if optimize == "auto":
+            optimize = jax.default_backend() == "tpu"
         if host_setup:
             cpu = jax.devices("cpu")[0]
             target = jax.devices()[0]
             with jax.default_device(cpu):
                 A_host = jax.device_put(A, cpu)
                 self._do_setup(A_host)
+                if optimize:
+                    # pick fast representations while still on host — the
+                    # analysis reads the index arrays, so do it before the
+                    # device transfer (seq/fastmv.py)
+                    self.hierarchy = optimize_hierarchy(
+                        self.hierarchy, prefer_pallas=target.platform == "tpu"
+                    )
             self.hierarchy = jax.device_put(self.hierarchy, target)
         else:
             self._do_setup(A)
+            if optimize:
+                self.hierarchy = optimize_hierarchy(self.hierarchy)
+
         self._smoother = make_smoother(
             self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio
         )
@@ -99,6 +123,8 @@ class BoomerAMG:
             relax=self.relax,
             coarsen=self.coarsen_type,
             interp_jacobi_passes=self.interp_jacobi_passes,
+            setup_backend=self.setup_backend,
+            agg_num_levels=self.agg_num_levels,
         )
 
     # -- solver interfaces ---------------------------------------------------
@@ -158,13 +184,22 @@ class BoomerAMG:
         n0 = self.hierarchy.levels[0].A.n_rows if self.hierarchy.levels else 0
         total_nnz, nnz0 = 0, 1
         for i, lev in enumerate(self.hierarchy.levels):
-            nnz = int(lev.A.nnz())
+            A = getattr(lev.A, "ell", lev.A) or lev.A  # unwrap fast reps
+            if hasattr(A, "vals_t"):  # BandedEll with dropped ELL
+                nnz = int(jnp.sum(jnp.abs(A.vals_t) > 0))
+                width = A.vals_t.shape[0]
+            elif hasattr(A, "nnz"):
+                nnz = int(A.nnz())
+                width = A.k
+            else:  # DiaMatrix
+                nnz = int(jnp.sum(A.dvals != 0))
+                width = len(A.offsets)
             if i == 0:
                 nnz0 = max(nnz, 1)
             total_nnz += nnz
             lines.append(
-                f"{i:3d} {lev.A.n_rows:11d} {lev.A.k:9d} {nnz:8d} "
-                f"{lev.A.n_rows / max(n0, 1):10.3f}"
+                f"{i:3d} {A.n_rows:11d} {width:9d} {nnz:8d} "
+                f"{A.n_rows / max(n0, 1):10.3f}"
             )
         nc = self.hierarchy.coarse_inv.shape[0]
         lines.append(f"{len(self.hierarchy.levels):3d} {nc:11d} {'dense':>9s}")

@@ -33,6 +33,7 @@ from hypre_tpu.amg.relax import (
 )
 from hypre_tpu.amg.strength import strength_mask
 from hypre_tpu.seq.ell import EllMatrix
+from hypre_tpu.seq.fastmv import optimize_operator
 from hypre_tpu.seq.spgemm import ell_spgemm, ell_transpose
 
 
@@ -81,13 +82,51 @@ def setup_hierarchy(
     coarsen_rtol: float = 0.9,
     coarsen: str = "pmis",
     interp_jacobi_passes: int = 0,
+    setup_backend: str = "auto",
+    agg_num_levels: int = 0,
 ) -> AMGHierarchy:
     """Build the multigrid hierarchy (BoomerAMG setup phase).
 
     coarsen: 'pmis' (8) | 'cljp' (0) | 'ruge' (1) | 'hmis' (10) | 'falgout'
     (6; single-shard Falgout = RS everywhere, so it maps to 'ruge' here —
     the CLJP boundary pass is a no-op without shard boundaries).
+
+    setup_backend: 'native' runs the per-level pipeline (strength, PMIS/RS,
+    ext+i, truncation, RAP) through the C++/OpenMP kernels in csrc/ —
+    hypre's own architecture, where setup is C — and is orders of magnitude
+    faster at scale than the jax sort-based path; 'jax' keeps everything in
+    XLA ops (used on platforms without a compiler and as the test oracle);
+    'auto' picks native when the library builds and the knob combination is
+    covered (ext+i / pmis / ruge / hmis / falgout, no Jacobi-interp passes).
     """
+    if setup_backend == "auto":
+        from hypre_tpu import native as _native
+
+        covered = (
+            interp in ("ext+i", "direct")
+            and coarsen in ("pmis", "ruge", "hmis", "falgout")
+            and interp_jacobi_passes == 0
+            and _native.available()
+        )
+        if agg_num_levels > 0 and not covered:
+            raise ValueError(
+                "aggressive coarsening requires the native setup backend"
+            )
+        setup_backend = "native" if covered else "jax"
+    if setup_backend == "native":
+        return _setup_hierarchy_native(
+            A,
+            strength_threshold=strength_threshold,
+            max_levels=max_levels,
+            max_coarse_size=max_coarse_size,
+            p_max_elmts=p_max_elmts,
+            trunc_factor=trunc_factor,
+            relax=relax,
+            coarsen=coarsen,
+            coarsen_rtol=coarsen_rtol,
+            interp=interp,
+            agg_num_levels=agg_num_levels,
+        )
     need_cheby = relax == "chebyshev"
     levels: List[Level] = []
 
@@ -190,6 +229,16 @@ def amg_cycle(
     """
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
 
+    def restrict(lev: Level, r: jax.Array) -> jax.Array:
+        # BandedEll P carries a scatter-formulated transpose whose windows
+        # live in the (small) coarse space — much cheaper than a gather
+        # through Pt's wide fine-space windows (seq/fastmv.py)
+        from hypre_tpu.seq.fastmv import BandedEll, banded_spmv_t
+
+        if isinstance(lev.P, BandedEll):
+            return banded_spmv_t(lev.P, r)
+        return lev.Pt.mv(r)
+
     def descend(level: int, f: jax.Array, u: jax.Array, ctype: int) -> jax.Array:
         if level == len(hier.levels):
             return hier.coarse_inv @ f
@@ -197,8 +246,8 @@ def amg_cycle(
         for _ in range(num_sweeps):
             u = smoother(lev, u, f)
         r = f - lev.A.mv(u)
-        rc = lev.Pt.mv(r)
-        ec = jnp.zeros(lev.Pt.vec_len_rows, f.dtype)
+        rc = restrict(lev, r)
+        ec = jnp.zeros(lev.P.vec_len_cols, f.dtype)
         last = level >= len(hier.levels) - 1
         if ctype == 3 and not last:
             # F-cycle: one recursive F-visit, then a V-visit (FMG recursion)
@@ -216,3 +265,206 @@ def amg_cycle(
     if u is None:
         u = jnp.zeros_like(f)
     return descend(0, f, u, cycle_type)
+
+
+def optimize_hierarchy(hier: AMGHierarchy, prefer_pallas: bool | None = None) -> AMGHierarchy:
+    """Swap every level operator (A, P, Pt) for its fastest-on-this-backend
+    representation (DIA shifts or the windowed Pallas gather, seq/fastmv.py).
+    Run after setup, before the solve phase — the TPU analogue of hypre
+    choosing device kernels at exec-policy time."""
+    from hypre_tpu.seq.fastmv import BandedEll
+
+    new_levels = []
+    for lev in hier.levels:
+        # the V-cycle is a preconditioner: bf16 gather rounding in its
+        # internals does not limit the outer Krylov accuracy
+        A = optimize_operator(lev.A, prefer_pallas, exact=False)
+        P = optimize_operator(lev.P, prefer_pallas, exact=False)
+        if isinstance(P, BandedEll):
+            # restriction runs through P's scatter transpose; Pt and the
+            # duplicate ELL payloads would only burn transfer bandwidth
+            P = P.drop_ell()
+            Pt = None
+        else:
+            Pt = optimize_operator(lev.Pt, prefer_pallas, exact=False)
+        if isinstance(A, BandedEll):
+            A = A.drop_ell()
+        if isinstance(Pt, BandedEll):
+            Pt = Pt.drop_ell()
+        new_levels.append(dataclasses.replace(lev, A=A, P=P, Pt=Pt))
+    return AMGHierarchy(levels=new_levels, coarse_inv=hier.coarse_inv)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++/OpenMP) setup path — see csrc/hypre_tpu_native.cpp
+# ---------------------------------------------------------------------------
+
+
+def _ell_to_csr_arrays(A: EllMatrix):
+    import numpy as np
+
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals, dtype=np.float64)
+    n, k = cols.shape
+    valid = cols >= 0
+    counts = valid.sum(axis=1).astype(np.int32)
+    Ap = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=Ap[1:])
+    # the native kernels accept unsorted column order within rows
+    Aj = cols[valid].astype(np.int32)
+    Ax = np.ascontiguousarray(vals[valid])
+    return n, Ap, Aj, Ax
+
+
+def _csr_to_ell_device(n, m, Ap, Aj, Ax, dtype):
+    import numpy as np
+
+    from hypre_tpu.core.config import PAD_COL
+
+    counts = np.diff(Ap)
+    k = max(int(counts.max(initial=0)), 1)
+    vals = np.zeros((n, k), dtype=dtype)
+    cols = np.full((n, k), PAD_COL, np.int32)
+    rows = np.repeat(np.arange(n), counts)
+    within = np.arange(len(Aj)) - np.repeat(Ap[:-1], counts)
+    vals[rows, within] = Ax
+    cols[rows, within] = Aj
+    return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols), n_cols=m)
+
+
+def _hash01_vec(n: int):
+    """Vectorized core/config.py:hash_rand01 (numpy) for reproducible
+    power-method starting vectors on host."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.uint32)
+    x = (x ^ (x >> np.uint32(16))) * np.uint32(0x7FEB352D)
+    x = (x ^ (x >> np.uint32(15))) * np.uint32(0x846CA68B)
+    x = x ^ (x >> np.uint32(16))
+    return x.astype(np.float64) / 4294967296.0
+
+
+def _setup_hierarchy_native(
+    A: EllMatrix,
+    strength_threshold: float,
+    max_levels: int,
+    max_coarse_size: int,
+    p_max_elmts: int,
+    trunc_factor: float,
+    relax: str,
+    coarsen: str,
+    coarsen_rtol: float,
+    interp: str = "ext+i",
+    agg_num_levels: int = 0,
+) -> AMGHierarchy:
+    """hypre_BoomerAMGSetup via the native kernels: the level loop stays in
+    host CSR arrays end-to-end; ELL device slabs are built once per level."""
+    import numpy as np
+
+    from hypre_tpu import native
+
+    need_cheby = relax == "chebyshev"
+    dtype = A.dtype
+    levels: List[Level] = []
+    n, Ap, Aj, Ax = _ell_to_csr_arrays(A)
+    A_ell = A
+
+    def one_pass(n, Ap, Aj, Ax):
+        """strength + coarsening + interpolation on one operator; returns
+        (n_coarse, P csr)."""
+        S = native.strength(n, Ap, Aj, Ax, strength_threshold)
+        if coarsen == "pmis":
+            cf = native.pmis(n, Ap, Aj, S)
+        else:  # ruge / falgout / hmis (single-shard: RS first pass)
+            cf = native.rs(n, Ap, Aj, S)
+            if coarsen == "hmis":
+                # PMIS cleanup: F points with strong rows but no C neighbor
+                for i in np.nonzero(cf == -1)[0]:
+                    seg = slice(Ap[i], Ap[i + 1])
+                    strong = Aj[seg][S[seg].astype(bool)]
+                    if strong.size and not (cf[strong] == 1).any():
+                        cf[i] = 1
+        is_c = cf == 1
+        n_coarse = int(is_c.sum())
+        if n_coarse == 0 or n_coarse >= coarsen_rtol * n:
+            return 0, None
+        cmap = np.where(is_c, np.cumsum(is_c) - 1, -1).astype(np.int32)
+        if interp == "direct":
+            Pp, Pj, Px = native.direct_interp(n, Ap, Aj, Ax, S, cf, cmap)
+        else:
+            Pp, Pj, Px = native.extpi_interp(n, Ap, Aj, Ax, S, cf, cmap)
+        if p_max_elmts > 0 or trunc_factor > 0:
+            Pp, Pj, Px = native.truncate(n, Pp, Pj, Px, p_max_elmts, trunc_factor)
+        return n_coarse, (Pp, Pj, Px)
+
+    def rap(n, nc, Ap, Aj, Ax, Pp, Pj, Px):
+        Tp, Tj, Tx = native.transpose(n, nc, Pp, Pj, Px)
+        APp, APj, APx = native.spgemm(n, nc, Ap, Aj, Ax, Pp, Pj, Px)
+        Cp, Cj, Cx = native.spgemm(nc, nc, Tp, Tj, Tx, APp, APj, APx)
+        return (Tp, Tj, Tx), (Cp, Cj, Cx)
+
+    while len(levels) < max_levels - 1 and n > max_coarse_size:
+        n_coarse, P_csr = one_pass(n, Ap, Aj, Ax)
+        if n_coarse == 0:
+            break
+        Pp, Pj, Px = P_csr
+        if len(levels) < agg_num_levels and n_coarse > max_coarse_size:
+            # aggressive coarsening (hypre agg_num_levels / par_2s_interp):
+            # coarsen the coarse operator again immediately and interpolate
+            # through the product P = P1 * P2, so the stored hierarchy skips
+            # the intermediate grid entirely
+            (T1), (C1) = rap(n, n_coarse, Ap, Aj, Ax, Pp, Pj, Px)
+            C1p, C1j, C1x = C1
+            n2, P2_csr = one_pass(n_coarse, C1p, C1j, C1x)
+            if n2 > 0:
+                P2p, P2j, P2x = P2_csr
+                Pp, Pj, Px = native.spgemm(
+                    n, n2, Pp, Pj, Px, P2p, P2j, P2x
+                )
+                if p_max_elmts > 0:
+                    Pp, Pj, Px = native.truncate(
+                        n, Pp, Pj, Px, p_max_elmts, trunc_factor
+                    )
+                n_coarse = n2
+        (Tp, Tj, Tx), (Cp, Cj, Cx) = rap(n, n_coarse, Ap, Aj, Ax, Pp, Pj, Px)
+
+        P_ell = _csr_to_ell_device(n, n_coarse, Pp, Pj, Px, dtype)
+        Pt_ell = _csr_to_ell_device(n_coarse, n, Tp, Tj, Tx, dtype)
+        # diagonal / l1 vectors straight from CSR (numpy segment sums);
+        # the Chebyshev eigenvalue estimate is deferred to the fast device
+        # operators (BoomerAMG.setup finalize) — lmax=0 marks "pending"
+        rows = np.repeat(np.arange(n), np.diff(Ap))
+        diag = np.zeros(n, np.float64)
+        np.add.at(diag, rows[Aj == rows], Ax[Aj == rows])
+        l1 = np.zeros(n, np.float64)
+        np.add.at(l1, rows, np.abs(Ax))
+        dinv_np = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
+        dinv = jnp.asarray(dinv_np.astype(dtype))
+        l1inv = jnp.asarray((1.0 / np.where(l1 > 0, l1, 1.0)).astype(dtype))
+        if need_cheby:
+            # host power method on D^{-1}A (native CSR SpMV), with hypre's
+            # 1.1 safety margin (par_relax_more.c:136)
+            x = _hash01_vec(n) - 0.5
+            x /= np.linalg.norm(x)
+            for _ in range(10):
+                y = dinv_np * native.matvec(n, Ap, Aj, Ax, x)
+                nrm = np.linalg.norm(y)
+                x = y / (nrm if nrm > 0 else 1.0)
+            y = dinv_np * native.matvec(n, Ap, Aj, Ax, x)
+            lmax = jnp.asarray(1.1 * float(x @ y) / float(x @ x), dtype)
+        else:
+            lmax = jnp.asarray(0.0, dtype)
+        levels.append(Level(A=A_ell, P=P_ell, Pt=Pt_ell, dinv=dinv, l1inv=l1inv, lmax=lmax))
+
+        n, Ap, Aj, Ax = n_coarse, Cp, Cj, Cx
+        A_ell = _csr_to_ell_device(n, n, Ap, Aj, Ax, dtype)
+
+    dense = np.zeros((n, n), np.float64)
+    rows = np.repeat(np.arange(n), np.diff(Ap))
+    np.add.at(dense, (rows, Aj), Ax)
+    try:
+        inv = np.linalg.inv(dense)
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(dense)  # singular coarse ops (pure Neumann)
+    coarse_inv = jnp.asarray(inv.astype(dtype))
+    return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)

@@ -102,15 +102,24 @@ def chebyshev(
 # ---------------------------------------------------------------------------
 
 
-def lower_apply(A: EllMatrix, x: jax.Array) -> jax.Array:
-    """L x with L = strict lower triangle of A (slot mask, no new matrix)."""
+def lower_apply(A, x: jax.Array) -> jax.Array:
+    """L x with L = strict lower triangle of A (slot mask, no new matrix).
+    Dispatches to format-native implementations (DiaMatrix) when available."""
+    if hasattr(A, "lower_apply"):
+        return A.lower_apply(x)
+    if hasattr(A, "ell"):
+        A = A.ell
     row_ids = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
     mask = (A.cols >= 0) & (A.cols < row_ids)
     gathered = jnp.take(x, jnp.maximum(A.cols, 0), axis=0)
     return jnp.sum(jnp.where(mask, A.vals, 0.0) * gathered, axis=1)
 
 
-def upper_apply(A: EllMatrix, x: jax.Array) -> jax.Array:
+def upper_apply(A, x: jax.Array) -> jax.Array:
+    if hasattr(A, "upper_apply"):
+        return A.upper_apply(x)
+    if hasattr(A, "ell"):
+        A = A.ell
     row_ids = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
     mask = (A.cols >= 0) & (A.cols > row_ids)
     gathered = jnp.take(x, jnp.maximum(A.cols, 0), axis=0)
@@ -142,6 +151,10 @@ def kaczmarz(A: EllMatrix, row_norm_inv: jax.Array, u: jax.Array, f: jax.Array, 
     return u + weight * A.mv_t(row_norm_inv * r)
 
 
-def row_norms_sq_inv(A: EllMatrix) -> jax.Array:
-    s = jnp.sum(A.vals * A.vals, axis=1)
+def row_norms_sq_inv(A) -> jax.Array:
+    if hasattr(A, "dvals"):
+        s = jnp.sum(A.dvals * A.dvals, axis=0)
+    else:
+        ell = A.ell if hasattr(A, "ell") else A
+        s = jnp.sum(ell.vals * ell.vals, axis=1)
     return 1.0 / jnp.where(s > 0, s, 1.0)

@@ -1,0 +1,137 @@
+"""DiaMatrix — diagonal-offset sparse format, the fastest TPU SpMV path.
+
+hypre's CSR SpMV is a row loop over column indices (``seq_mv/csr_matvec.c:699``)
+and its GPU path is a warp-per-row gather kernel. Neither shape survives on
+TPU: XLA lowers per-element gathers to the scalar unit (measured 109 ms for a
+2M-row 7-pt SpMV — 300x off the roofline on this chip). The TPU-native answer
+for PDE matrices is the DIA decomposition:
+
+    y = sum_d  dvals[d] * shift(x, offset_d)
+
+Each diagonal is a contiguous slice — no indices, no gather, pure VPU work
+that XLA fuses into one HBM pass (measured 0.33 ms for the same SpMV, a 324x
+speedup). Stencil-generated fine-grid operators decompose exactly; AMG coarse
+operators do not (their PMIS renumbering scatters the offsets) and use the
+windowed-gather kernel in ``fastmv.py`` instead. ``try_dia`` decides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.seq.ell import EllMatrix
+
+
+def _shift1d(x: jax.Array, o: int) -> jax.Array:
+    """z[i] = x[i+o], zero fill (same convention as struct/matrix.py)."""
+    if o == 0:
+        return x
+    if o > 0:
+        return jnp.concatenate([x[o:], jnp.zeros(o, x.dtype)])
+    return jnp.concatenate([jnp.zeros(-o, x.dtype), x[:o]])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """dvals[d, i] = A[i, i + offsets[d]] (row-indexed diagonal storage)."""
+
+    dvals: jax.Array  # (D, n_rows)
+    offsets: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.dvals.shape[1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.dvals.dtype
+
+    @property
+    def vec_len_rows(self) -> int:
+        return self.n_rows
+
+    @property
+    def vec_len_cols(self) -> int:
+        return self.n_cols
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.dvals[self.offsets.index(0)]
+        return jnp.zeros(self.n_rows, self.dtype)
+
+    def row_sums(self) -> jax.Array:
+        return jnp.sum(self.dvals, axis=0)
+
+    def abs_row_sums(self) -> jax.Array:
+        return jnp.sum(jnp.abs(self.dvals), axis=0)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        if x.shape[0] != self.n_cols:
+            raise ValueError(f"shape mismatch: {self.shape} @ {x.shape}")
+        y = None
+        for d, o in enumerate(self.offsets):
+            term = self.dvals[d] * _shift1d(x, o)
+            y = term if y is None else y + term
+        return y
+
+    def mv_t(self, x: jax.Array) -> jax.Array:
+        """A^T x: entry (i, i+o) of A contributes at output row i+o."""
+        y = None
+        for d, o in enumerate(self.offsets):
+            term = _shift1d(self.dvals[d] * x, -o)
+            y = term if y is None else y + term
+        return y
+
+    def lower_apply(self, x: jax.Array) -> jax.Array:
+        y = None
+        for d, o in enumerate(self.offsets):
+            if o >= 0:
+                continue
+            term = self.dvals[d] * _shift1d(x, o)
+            y = term if y is None else y + term
+        return jnp.zeros_like(x) if y is None else y
+
+    def upper_apply(self, x: jax.Array) -> jax.Array:
+        y = None
+        for d, o in enumerate(self.offsets):
+            if o <= 0:
+                continue
+            term = self.dvals[d] * _shift1d(x, o)
+            y = term if y is None else y + term
+        return jnp.zeros_like(x) if y is None else y
+
+
+def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
+    """Exact DIA decomposition, or None if A has too many distinct offsets.
+
+    Host-side analysis (setup phase). Square row/col index spaces only.
+    """
+    if A.n_rows != A.n_cols:
+        return None  # DIA is for square (level-operator) matrices
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals)
+    n, k = cols.shape
+    rows = np.arange(n)[:, None]
+    valid = cols >= 0
+    offs = np.unique((cols - rows)[valid])
+    if len(offs) > max_offsets:
+        return None
+    dvals = np.zeros((len(offs), n), vals.dtype)
+    for d, o in enumerate(offs):
+        m = valid & ((cols - rows) == o)
+        np.add.at(dvals[d], np.nonzero(m)[0], vals[m])
+    return DiaMatrix(
+        dvals=jnp.asarray(dvals),
+        offsets=tuple(int(o) for o in offs),
+        n_cols=A.n_cols,
+    )
