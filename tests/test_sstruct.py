@@ -1,0 +1,111 @@
+"""SStruct layer tests (TEST_sstruct analogues: matvec oracle, Split solver
+on coupled multi-part problems, SysPFMG on a multi-variable system)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.krylov import gmres, pcg
+from hypre_tpu.problems.struct_problems import struct_laplacian
+from hypre_tpu.sstruct import SplitSolver, SStructGrid, SysPFMG, SysStructMatrix
+from hypre_tpu.sstruct.matrix import SStructGraphBuilder, sstruct_matrix
+from hypre_tpu.struct.stencil import star_stencil
+
+
+def _two_part_problem(n=12):
+    """Two n x n parts glued along an edge (hypre ex8-style multipart):
+    part boundaries coupled through graph entries so the assembled system
+    is the Laplacian on a 2n x n strip."""
+    grid = SStructGrid(((n, n), (n, n)))
+    parts = [struct_laplacian((n, n)) for _ in range(2)]
+    g = SStructGraphBuilder(grid)
+    # cells (n-1, j) of part 0 couple to (0, j) of part 1 and vice versa
+    for j in range(n):
+        g.add_entry(0, (n - 1, j), 1, (0, j), -1.0)
+        g.add_entry(1, (0, j), 0, (n - 1, j), -1.0)
+    return grid, sstruct_matrix(parts, grid, g)
+
+
+def test_sstruct_matvec_matches_monolithic():
+    n = 8
+    grid, A = _two_part_problem(n)
+    # oracle: Laplacian on the glued (2n, n) strip; index space differs
+    # (part-major vs row-major) so compare through explicit permutation
+    mono = struct_laplacian((2 * n, n))
+    perm = np.zeros(2 * n * n, dtype=int)  # mono index -> sstruct index
+    for i in range(2 * n):
+        for j in range(n):
+            part, ii = (0, i) if i < n else (1, i - n)
+            perm[i * n + j] = grid.global_index(part, (ii, j))
+    xm = np.random.default_rng(0).standard_normal(2 * n * n)
+    xs = np.empty_like(xm)
+    xs[perm] = xm  # mono-ordered values scattered into sstruct ordering
+    from hypre_tpu.struct.matrix import struct_matvec
+
+    want = np.asarray(struct_matvec(mono, jnp.asarray(xm.reshape(2 * n, n)))).reshape(-1)
+    got = np.asarray(A.mv(jnp.asarray(xs)))
+    np.testing.assert_allclose(got[perm], want, atol=1e-12)
+
+
+def test_split_solver_converges():
+    grid, A = _two_part_problem(10)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(A.n_rows))
+    sp = SplitSolver().setup(A)
+    x, info = sp.solve(b, rtol=1e-8, maxiter=200)
+    assert bool(info.converged), f"{info}"
+    r = b - A.mv(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-7
+
+
+def test_split_as_krylov_preconditioner():
+    grid, A = _two_part_problem(10)
+    b = jnp.ones(A.n_rows)
+    x, info = pcg(A.as_linear_op(), b, M=SplitSolver().setup(A).precond(), rtol=1e-8)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 25
+
+
+def _coupled_system(n=16, eps=0.1):
+    """Two coupled diffusion equations on one part:
+    -Δu + eps*v = f1; eps*u - Δv = f2 (SPD for small eps)."""
+    L = struct_laplacian((n, n))
+    st = L.stencil
+    S = st.size
+    coeffs = np.zeros((2, 2, S, n, n))
+    coeffs[0, 0] = np.asarray(jnp.broadcast_to(L.coeffs[:, None, None], (S, n, n)))
+    coeffs[1, 1] = coeffs[0, 0]
+    ci = st.center_index()
+    coeffs[0, 1, ci] = eps
+    coeffs[1, 0, ci] = eps
+    return SysStructMatrix(coeffs=jnp.asarray(coeffs), stencil=st, shape=(n, n))
+
+
+def test_sys_matvec_vs_dense():
+    A = _coupled_system(5)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 5, 5)))
+    dense = np.asarray(A.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(A.mv(x)).reshape(-1), dense @ np.asarray(x).reshape(-1), atol=1e-12
+    )
+
+
+def test_syspfmg_solve():
+    A = _coupled_system(16)
+    b = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 16)))
+    sp = SysPFMG(max_coarse_size=128).setup(A)
+    x, info = sp.solve(b, rtol=1e-7, maxiter=100)
+    assert bool(info.converged), f"{info}"
+    r = b - A.mv(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+    assert int(info.iterations) <= 30
+
+
+def test_syspfmg_as_preconditioner():
+    A = _coupled_system(12)
+    sp = SysPFMG(max_coarse_size=64).setup(A)
+    b = jnp.ones(A.n_rows)
+    x, info = pcg(A.as_linear_op(), b, M=sp.precond(), rtol=1e-8, maxiter=60)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 15
