@@ -52,11 +52,12 @@ class BandedEll:
     W: int = dataclasses.field(metadata=dict(static=True))
     B: int = dataclasses.field(metadata=dict(static=True))
     n_xpad: int = dataclasses.field(metadata=dict(static=True))
-    # exact=True runs the one-hot gather matmul at Precision.HIGHEST
-    # (bf16x3 passes — f32-exact); False uses the MXU's fast single-pass
-    # bf16, which rounds x to ~3 decimal digits — plenty for V-cycle
-    # preconditioner internals, wrong for top-level operators
-    exact: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # gather-matmul precision: 0 = single-pass bf16 (fast; rounds x to
+    # ~1e-3 relative — NONLINEAR rounding, only safe inside flexible
+    # methods), 1 = hi/lo bf16 two-pass split (default; error ~1e-6,
+    # below the f32 solve floor), 2 = Precision.HIGHEST (f32-exact, ~10x
+    # slower — parity/debug runs)
+    exact: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     n_rows_s: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_cols_s: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -115,7 +116,24 @@ class BandedEll:
         return banded_spmv_t(self, x)
 
 
-def _spmv_kernel(k: int, W: int, B: int, exact: bool, start_ref, x_hbm,
+def _split_dot(a, b, exact: int):
+    """a @ b with selectable accuracy (see BandedEll.exact)."""
+    if exact >= 2:
+        return jnp.dot(
+            a, b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if exact == 1:
+        ahi = a.astype(jnp.bfloat16)
+        alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bb = b.astype(jnp.bfloat16)
+        return jnp.dot(ahi, bb, preferred_element_type=jnp.float32) + jnp.dot(
+            alo, bb, preferred_element_type=jnp.float32
+        )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _spmv_kernel(k: int, W: int, B: int, exact: int, start_ref, x_hbm,
                  v_ref, c_ref, y_ref, xw, sem):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -135,10 +153,7 @@ def _spmv_kernel(k: int, W: int, B: int, exact: bool, start_ref, x_hbm,
         ohT = (jax.lax.broadcasted_iota(jnp.int32, (WR, B), 0) == rowi).astype(
             jnp.float32
         )
-        prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
-        rowselT = jnp.dot(
-            xw2, ohT, preferred_element_type=jnp.float32, precision=prec
-        )  # (128, B)
+        rowselT = _split_dot(xw2, ohT, exact)  # (128, B)
         lmaskT = jax.lax.broadcasted_iota(jnp.int32, (128, B), 0) == lane
         g = jnp.sum(jnp.where(lmaskT, rowselT, 0.0), axis=0, keepdims=True)
         return acc + v_ref[pl.ds(s, 1), :] * g
@@ -174,7 +189,7 @@ def _banded_call(k, W, B, n_pad, n_xpad, exact, starts, xpad, vals_t, lcols_t):
     return f(starts, xpad, vals_t, lcols_t)
 
 
-def _spmv_t_kernel(k: int, W: int, B: int, exact: bool, start_ref, y0_hbm,
+def _spmv_t_kernel(k: int, W: int, B: int, exact: int, start_ref, y0_hbm,
                    v_ref, c_ref, r_ref, y_ref, tmp, sem):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -182,7 +197,6 @@ def _spmv_t_kernel(k: int, W: int, B: int, exact: bool, start_ref, y0_hbm,
     i = pl.program_id(0)
     st = pl.multiple_of(start_ref[i], ALIGN)
     WR = W // 128
-    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     rrow = r_ref[:].reshape(1, B)
 
     def slot(s, acc2):
@@ -196,10 +210,7 @@ def _spmv_t_kernel(k: int, W: int, B: int, exact: bool, start_ref, y0_hbm,
         ohLane = (
             jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1) == lane.reshape(B, 1)
         ).astype(jnp.float32)
-        return acc2 + jnp.dot(
-            ohRows * contrib, ohLane, preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        return acc2 + _split_dot(ohRows * contrib, ohLane, exact)
 
     acc2 = jax.lax.fori_loop(0, k, slot, jnp.zeros((WR, 128), jnp.float32))
     # sequential read-modify-write accumulation into the aliased output
@@ -296,7 +307,7 @@ def try_banded(
     A: EllMatrix,
     block: int | None = None,
     max_window: int = 131072,
-    exact: bool = True,
+    exact: int = 1,
 ) -> BandedEll | None:
     """Build the window schedule, or None if every candidate block size
     leaves some window above ``max_window`` (matrix not banded enough).
@@ -342,7 +353,7 @@ def try_banded(
 
 
 def optimize_operator(
-    A: EllMatrix, prefer_pallas: bool | None = None, exact: bool = True
+    A: EllMatrix, prefer_pallas: bool | None = None, exact: int = 1
 ):
     """Pick the fastest SpMV representation for this matrix on this backend
     (the role of hypre's SetSpGemmUseVendor/exec-policy knobs, collapsed
