@@ -1,0 +1,208 @@
+"""ij driver — mirrors ``src/test/ij.c`` (flags at ij.c:521-575, solver ids
+at ij.c:2022-2046, coarsening flags :2047-2059).
+
+Output format matches the reference goldens (TEST_ij/solvers.saved):
+
+    Iterations = N
+    Final Relative Residual Norm = X
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+SOLVER_HELP = """solver ids (ij.c:2022-2046 subset):
+  0 = AMG            1 = AMG-PCG        2 = DS-PCG        3 = AMG-GMRES
+  4 = DS-GMRES       5 = AMG-CGNR       6 = DS-CGNR       8 = ParaSails-PCG
+  9 = AMG-BiCGSTAB  10 = DS-BiCGSTAB   12 = Schwarz-PCG  16 = AMG-COGMRES
+ 18 = ParaSails-GMRES  20 = Hybrid     31 = FSAI-PCG     50 = AMG-LGMRES
+ 60 = AMG-FlexGMRES   70 = MGR-GMRES   80 = ILU-GMRES"""
+
+
+def parse_args(argv):
+    a = dict(
+        solver=1, nx=40, ny=40, nz=1, problem="laplacian", tol=1e-8,
+        max_iter=1000, coarsen="pmis", interp="ext+i", relax="chebyshev",
+        theta=0.25, agg_nl=0, pmx=4, ns=1, k_dim=30, rhs="ones",
+        fromfile=None, eps=1.0, two_norm=True,
+    )
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        f = argv[i]
+        def take(n=1):
+            nonlocal i
+            vals = argv[i + 1 : i + 1 + n]
+            i += n
+            return vals if n > 1 else vals[0]
+        if f == "-solver":
+            a["solver"] = int(take())
+        elif f == "-n":
+            a["nx"], a["ny"], a["nz"] = (int(v) for v in take(3))
+        elif f == "-laplacian":
+            a["problem"] = "laplacian"
+        elif f == "-9pt":
+            a["problem"] = "9pt"
+        elif f == "-27pt":
+            a["problem"] = "27pt"
+        elif f == "-difconv":
+            a["problem"] = "difconv"
+        elif f == "-fromfile":
+            a["problem"], a["fromfile"] = "fromfile", take()
+        elif f in ("-pmis", "-pmis1"):
+            a["coarsen"] = "pmis"
+        elif f == "-cljp":
+            a["coarsen"] = "cljp"
+        elif f == "-ruge":
+            a["coarsen"] = "ruge"
+        elif f == "-falgout":
+            a["coarsen"] = "falgout"
+        elif f == "-hmis":
+            a["coarsen"] = "hmis"
+        elif f == "-interptype":
+            a["interp"] = {0: "classical", 3: "direct", 6: "ext+i", 14: "ext+i"}[
+                int(take())
+            ]
+        elif f == "-rlx":
+            a["relax"] = {
+                0: "jacobi", 7: "jacobi", 18: "l1-jacobi", 16: "chebyshev",
+                11: "two-stage-gs", 12: "sym-two-stage-gs", 20: "kaczmarz",
+            }[int(take())]
+        elif f == "-tol":
+            a["tol"] = float(take())
+        elif f == "-max_iter":
+            a["max_iter"] = int(take())
+        elif f == "-th":
+            a["theta"] = float(take())
+        elif f == "-agg_nl":
+            a["agg_nl"] = int(take())
+        elif f == "-Pmx":
+            a["pmx"] = int(take())
+        elif f == "-ns":
+            a["ns"] = int(take())
+        elif f == "-k":
+            a["k_dim"] = int(take())
+        elif f == "-rhsrand":
+            a["rhs"] = "rand"
+        elif f == "-eps":
+            a["eps"] = float(take())
+        elif f == "-help":
+            print(SOLVER_HELP)
+            raise SystemExit(0)
+        else:
+            raise SystemExit(f"unknown flag {f} (see -help)")
+        i += 1
+    return a
+
+
+def build_problem(a):
+    from hypre_tpu.io import read_matrix_market
+    from hypre_tpu.problems.laplacian import (
+        difconv_3d_7pt, laplacian_2d_5pt, laplacian_2d_9pt, laplacian_3d_7pt,
+        laplacian_3d_27pt,
+    )
+    from hypre_tpu.seq.ell import csr_to_ell
+
+    nx, ny, nz = a["nx"], a["ny"], a["nz"]
+    if a["problem"] == "fromfile":
+        return csr_to_ell(read_matrix_market(a["fromfile"]))
+    if a["problem"] == "9pt":
+        return laplacian_2d_9pt(nx, ny)
+    if a["problem"] == "27pt":
+        return laplacian_3d_27pt(nx, ny, max(nz, 2))
+    if a["problem"] == "difconv":
+        return difconv_3d_7pt(nx, ny, max(nz, 2), eps=a["eps"])
+    if nz <= 1:
+        return laplacian_2d_5pt(nx, ny)
+    return laplacian_3d_7pt(nx, ny, nz)
+
+
+def run(argv) -> tuple[int, float]:
+    import jax.numpy as jnp
+
+    from hypre_tpu.amg import BoomerAMG
+    from hypre_tpu.amg.hybrid import HybridSolver
+    from hypre_tpu.amg.mgr import MGR
+    from hypre_tpu.krylov import (
+        bicgstab, cgnr, cogmres, flexgmres, gmres, lgmres, pcg,
+    )
+    from hypre_tpu.precond import FSAI, ILU, ParaSails, Schwarz
+    from hypre_tpu.seq.ell import ell_spmv, ell_spmv_t
+
+    a = parse_args(argv)
+    A = build_problem(a)
+    n = A.n_rows
+    if a["rhs"] == "rand":
+        b = jnp.asarray(np.random.default_rng(0).random(n), A.dtype)
+    else:
+        b = jnp.ones(n, A.dtype)
+    op = lambda v: ell_spmv(A, v)
+    dinv = 1.0 / A.diagonal()
+
+    def amg():
+        return BoomerAMG(
+            coarsen_type=a["coarsen"], interp=a["interp"], relax=a["relax"],
+            strength_threshold=a["theta"], agg_num_levels=a["agg_nl"],
+            p_max_elmts=a["pmx"], num_sweeps=a["ns"],
+        ).setup(A)
+
+    s = a["solver"]
+    kw = dict(rtol=a["tol"], maxiter=a["max_iter"])
+    if s == 0:
+        x, info = amg().solve(b, rtol=a["tol"], maxiter=a["max_iter"])
+    elif s == 1:
+        x, info = pcg(op, b, M=amg().precond(), **kw)
+    elif s == 2:
+        x, info = pcg(op, b, M=lambda r: dinv * r, **kw)
+    elif s == 3:
+        x, info = gmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
+    elif s == 4:
+        x, info = gmres(op, b, M=lambda r: dinv * r, k_dim=a["k_dim"], **kw)
+    elif s == 5:
+        x, info = cgnr(op, lambda v: ell_spmv_t(A, v), b, M=amg().precond(), **kw)
+    elif s == 6:
+        x, info = cgnr(op, lambda v: ell_spmv_t(A, v), b, **kw)
+    elif s == 8:
+        x, info = pcg(op, b, M=ParaSails().setup(A).precond(), **kw)
+    elif s == 9:
+        x, info = bicgstab(op, b, M=amg().precond(), **kw)
+    elif s == 10:
+        x, info = bicgstab(op, b, M=lambda r: dinv * r, **kw)
+    elif s == 12:
+        x, info = pcg(op, b, M=Schwarz().setup(A).precond(), **kw)
+    elif s == 16:
+        x, info = cogmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
+    elif s == 18:
+        x, info = gmres(op, b, M=ParaSails().setup(A).precond(), k_dim=a["k_dim"], **kw)
+    elif s == 20:
+        x, info = HybridSolver().setup(A).solve(b, rtol=a["tol"])
+    elif s == 31:
+        x, info = pcg(op, b, M=FSAI().setup(A).precond(), **kw)
+    elif s == 50:
+        x, info = lgmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
+    elif s == 60:
+        x, info = flexgmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
+    elif s == 70:
+        cpts = np.arange(n)[(np.arange(n) % 2) == 0]
+        x, info = gmres(op, b, M=MGR().setup(A, [cpts]).precond(), **kw)
+    elif s == 80:
+        x, info = gmres(op, b, M=ILU().setup(A).precond(), **kw)
+    else:
+        raise SystemExit(f"unsupported solver id {s}\n{SOLVER_HELP}")
+
+    iters = int(info.iterations)
+    rel = float(info.relative_residual)
+    print(f"Iterations = {iters}")
+    print(f"Final Relative Residual Norm = {rel:e}")
+    return iters, rel
+
+
+def main():
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Driver golden tests — the reference's regression methodology
+(``test/runtest.sh``: run driver flag combinations, diff iteration counts
+and final residual norms against saved goldens with tolerances).
+
+The saved counts below are this framework's goldens (recorded on the CPU
+x64 test configuration; PMIS tie-breaking is a stateless hash so they are
+machine-stable). Reference targets for context: hypre's AMG-PCG golden on
+the 2-D Laplacian is 7 iterations / 3.1e-9 (TEST_ij/solvers.saved:1-3) —
+case 2 below reproduces the 7.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from hypre_tpu.drivers import ij as ij_driver
+from hypre_tpu.drivers import struct as struct_driver
+
+IJ_GOLDEN = [
+    ("-solver 0 -n 40 40 1 -tol 1e-8", 9, 7.196e-09),
+    ("-solver 1 -n 40 40 1 -pmis -interptype 6", 7, 9.690e-10),
+    ("-solver 2 -n 40 40 1", 74, 9.263e-09),
+    ("-solver 3 -n 40 40 1 -ruge -interptype 0", 4, 6.489e-10),
+    ("-solver 9 -n 20 20 20 -pmis", 4, 5.844e-09),
+    ("-solver 31 -n 40 40 1", 54, 8.577e-09),
+    ("-solver 20 -n 40 40 1", 9, 1.014e-09),
+    ("-solver 1 -n 20 20 20 -agg_nl 1", 12, 2.879e-09),
+    ("-solver 80 -n 30 30 1 -tol 1e-8", 28, 4.979e-09),
+    ("-solver 16 -n 40 40 1", 5, 6.232e-09),
+]
+
+STRUCT_GOLDEN = [
+    ("-solver 0 -n 32 32 1", 6, 1.710e-07),
+    ("-solver 1 -n 32 32 1", 14, 8.334e-07),
+    ("-solver 1 -n 16 16 16", 22, 6.721e-07),
+    ("-solver 11 -n 32 32 1 -tol 1e-8", 11, 1.513e-09),
+    ("-solver 10 -n 32 32 1 -tol 1e-8", 7, 1.193e-09),
+    ("-solver 1 -n 64 64 1 -c 1 0.01 1", 11, 3.133e-07),
+]
+
+
+def _run(driver, flags):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        iters, rel = driver.run(flags.split())
+    out = buf.getvalue()
+    assert "Iterations =" in out and "Final Relative Residual Norm" in out
+    return iters, rel
+
+
+@pytest.mark.parametrize("flags,iters,rel", IJ_GOLDEN, ids=[c[0] for c in IJ_GOLDEN])
+def test_ij_driver_golden(flags, iters, rel):
+    got_it, got_rel = _run(ij_driver, flags)
+    # runtest.sh-style comparison: iteration counts exact, residual with rtol
+    assert got_it == iters, f"iterations {got_it} != golden {iters}"
+    assert got_rel <= rel * 1.2 + 1e-16
+
+
+@pytest.mark.parametrize(
+    "flags,iters,rel", STRUCT_GOLDEN, ids=[c[0] for c in STRUCT_GOLDEN]
+)
+def test_struct_driver_golden(flags, iters, rel):
+    got_it, got_rel = _run(struct_driver, flags)
+    assert got_it == iters, f"iterations {got_it} != golden {iters}"
+    assert got_rel <= rel * 1.2 + 1e-16
+
+
+def test_ij_driver_help_lists_solvers():
+    with pytest.raises(SystemExit):
+        ij_driver.run(["-help"])
