@@ -30,16 +30,22 @@ from hypre_tpu.seq.ell import EllMatrix, ell_spmv
 
 @dataclasses.dataclass
 class ILU:
-    """HYPRE_ILU* object protocol (HYPRE_parcsr_ls.h, ilu_type 0 = ILU(0))."""
+    """HYPRE_ILU* object protocol (HYPRE_parcsr_ls.h; ilu_type 0 = ILU(0),
+    fill_level>0 gives ILU(k) by growing the pattern to the structure of
+    A^(k+1) — hypre's level-of-fill, computed with the native symbolic
+    SpGEMM)."""
 
     factor_sweeps: int = 5
     solve_sweeps: int = 6
+    fill_level: int = 0
 
     L: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
     U: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
     dinv: Optional[jax.Array] = dataclasses.field(default=None, repr=False)
 
     def setup(self, A: EllMatrix) -> "ILU":
+        if self.fill_level > 0:
+            A = _grow_pattern(A, self.fill_level)
         n, k = A.cols.shape
         cols = A.cols
         row_ids = jnp.arange(n, dtype=cols.dtype)[:, None]
@@ -103,3 +109,33 @@ class ILU:
             return x
 
         return M
+
+
+def _grow_pattern(A: EllMatrix, level: int) -> EllMatrix:
+    """Return A re-padded onto the boolean pattern of A^(level+1), with
+    zeros in the fill positions (the ILU(k) static pattern)."""
+    import numpy as np
+
+    from hypre_tpu import native
+    from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays
+    from hypre_tpu.seq.csr import HostCSR
+    from hypre_tpu.seq.ell import csr_to_ell, ell_to_csr
+
+    n, Ap, Aj, Ax = _ell_to_csr_arrays(A)
+    Pp, Pj = Ap, Aj
+    ones = np.ones_like(Ax)
+    for _ in range(level):
+        lib_vals = np.ones(len(Pj), np.float64)
+        Pp, Pj, _ = native.spgemm(n, n, Pp, Pj, lib_vals, Ap, Aj, ones)
+    # overlay A's values onto the grown pattern
+    acsr = ell_to_csr(A)
+    dense_lookup = {}
+    rows = np.repeat(np.arange(n), acsr.row_nnz())
+    for r, c, v in zip(rows, acsr.indices, acsr.data):
+        dense_lookup[(int(r), int(c))] = float(v)
+    prows = np.repeat(np.arange(n), np.diff(Pp))
+    vals = np.array(
+        [dense_lookup.get((int(r), int(c)), 0.0) for r, c in zip(prows, Pj)]
+    )
+    return csr_to_ell(HostCSR(Pp.astype(np.int64), Pj.astype(np.int64), vals, (n, n)),
+                      dtype=A.dtype)

@@ -114,3 +114,39 @@ def test_schwarz_overlap_additive_pcg_converges(lap):
     # plain additive overlap stays symmetric — PCG must still converge
     it = _iters(lap, Schwarz(block_size=24, overlap=8).setup(lap).precond())
     assert it < 200
+
+
+def test_ilu_fill_level_one_converges(lap):
+    """ILU(1): grown pattern stays a valid preconditioner. (With the
+    fine-grained fixed-point factorization, more fill only pays once the
+    sweep count grows with it — hypre's exact factorization differs here.)"""
+    it1 = _iters(lap, ILU(fill_level=1).setup(lap).precond())
+    assert it1 <= 60
+
+
+def test_bsr_roundtrip_and_block_jacobi():
+    import numpy as np
+    from hypre_tpu.seq.bsr import BsrMatrix, ell_to_bsr
+    from hypre_tpu.seq.ell import ell_from_dense
+
+    rng = np.random.default_rng(0)
+    nb, bs = 12, 3
+    n = nb * bs
+    M = np.kron((rng.random((nb, nb)) < 0.3) * 1.0, np.ones((bs, bs)))
+    M *= rng.standard_normal((n, n))
+    M += np.diag(np.abs(M).sum(1) + 1.0)
+    A = ell_from_dense(M)
+    B = ell_to_bsr(A, bs)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(B.mv(x)), M @ np.asarray(x), rtol=1e-10)
+    # scalar round-trip
+    from hypre_tpu.seq.ell import ell_spmv
+
+    np.testing.assert_allclose(
+        np.asarray(ell_spmv(B.to_ell(), x)), M @ np.asarray(x), rtol=1e-10
+    )
+    # block-Jacobi beats scalar Jacobi on block-coupled systems
+    it_blk = _iters(A, B.block_jacobi_precond(), solver=gmres)
+    dinv = 1.0 / A.diagonal()
+    it_pt = _iters(A, lambda r: dinv * r, solver=gmres)
+    assert it_blk <= it_pt
