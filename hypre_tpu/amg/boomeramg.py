@@ -59,6 +59,9 @@ class BoomerAMG:
     # aggressive coarsening on the first N levels (hypre agg_num_levels,
     # par_amg_setup.c:1193): two coarsening passes composed through P1*P2
     agg_num_levels: int = 0
+    # 'transpose' (Galerkin R = P^T) | 'air' (approximate ideal restriction,
+    # par_restr.c — for nonsymmetric/advective problems; pair with GMRES)
+    restrict_type: str = "transpose"
     cheby_order: int = 2
     cheby_ratio: float = 0.3
 
@@ -125,6 +128,7 @@ class BoomerAMG:
             interp_jacobi_passes=self.interp_jacobi_passes,
             setup_backend=self.setup_backend,
             agg_num_levels=self.agg_num_levels,
+            restrict_type=self.restrict_type,
         )
 
     # -- solver interfaces ---------------------------------------------------

@@ -56,6 +56,8 @@ class Level:
 class AMGHierarchy:
     levels: List[Level]
     coarse_inv: jax.Array  # dense (pseudo)inverse of the coarsest operator
+    # False when restriction != P^T (AIR): Pt then holds R and must be kept
+    galerkin: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
     @property
     def num_levels(self) -> int:
@@ -84,6 +86,7 @@ def setup_hierarchy(
     interp_jacobi_passes: int = 0,
     setup_backend: str = "auto",
     agg_num_levels: int = 0,
+    restrict_type: str = "transpose",
 ) -> AMGHierarchy:
     """Build the multigrid hierarchy (BoomerAMG setup phase).
 
@@ -106,6 +109,7 @@ def setup_hierarchy(
             interp in ("ext+i", "direct")
             and coarsen in ("pmis", "ruge", "hmis", "falgout")
             and interp_jacobi_passes == 0
+            and restrict_type == "transpose"
             and _native.available()
         )
         if agg_num_levels > 0 and not covered:
@@ -170,7 +174,11 @@ def setup_hierarchy(
                 max_elmts=p_max_elmts, trunc_factor=trunc_factor,
             )
         P = truncate_interp(P, max_elmts=p_max_elmts, trunc_factor=trunc_factor)
-        Pt = ell_transpose(P)
+        if restrict_type == "air":
+            from hypre_tpu.amg.air import air_restriction
+
+            R = air_restriction(A, S, cf, cmap, n_coarse)
+        Pt = ell_transpose(P) if restrict_type == "transpose" else R
         AP = ell_spgemm(A, P)
         A_coarse = ell_spgemm(Pt, AP)
         dinv, l1inv, lmax = _level_vectors(A, need_cheby)
@@ -188,7 +196,10 @@ def setup_hierarchy(
         jnp.where(A.cols >= 0, A.vals, 0)
     )
     coarse_inv = jnp.linalg.pinv(dense)
-    return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)
+    return AMGHierarchy(
+        levels=levels, coarse_inv=coarse_inv,
+        galerkin=restrict_type == "transpose",
+    )
 
 
 def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio: float):
@@ -230,12 +241,15 @@ def amg_cycle(
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
 
     def restrict(lev: Level, r: jax.Array) -> jax.Array:
-        # BandedEll P carries a scatter-formulated transpose whose windows
-        # live in the (small) coarse space — much cheaper than a gather
-        # through Pt's wide fine-space windows (seq/fastmv.py)
+        # Pt=None marks a Galerkin level whose restriction runs through P's
+        # scatter-formulated transpose (windows in the small coarse space —
+        # much cheaper than gathering through Pt's wide fine-space windows);
+        # AIR levels keep their explicit R in Pt (seq/fastmv.py)
         from hypre_tpu.seq.fastmv import BandedEll, banded_spmv_t
 
-        if isinstance(lev.P, BandedEll):
+        if lev.Pt is None:
+            return banded_spmv_t(lev.P, r)
+        if isinstance(lev.P, BandedEll) and hier.galerkin:
             return banded_spmv_t(lev.P, r)
         return lev.Pt.mv(r)
 
@@ -286,19 +300,22 @@ def optimize_hierarchy(
         # Raise via gather_precision for parity/debug runs.
         A = optimize_operator(lev.A, prefer_pallas, exact=gather_precision)
         P = optimize_operator(lev.P, prefer_pallas, exact=gather_precision)
-        if isinstance(P, BandedEll):
+        if isinstance(P, BandedEll) and hier.galerkin:
             # restriction runs through P's scatter transpose; Pt and the
             # duplicate ELL payloads would only burn transfer bandwidth
             P = P.drop_ell()
             Pt = None
         else:
+            # non-Galerkin (AIR): Pt holds R and must survive
             Pt = optimize_operator(lev.Pt, prefer_pallas, exact=gather_precision)
         if isinstance(A, BandedEll):
             A = A.drop_ell()
         if isinstance(Pt, BandedEll):
             Pt = Pt.drop_ell()
         new_levels.append(dataclasses.replace(lev, A=A, P=P, Pt=Pt))
-    return AMGHierarchy(levels=new_levels, coarse_inv=hier.coarse_inv)
+    return AMGHierarchy(
+        levels=new_levels, coarse_inv=hier.coarse_inv, galerkin=hier.galerkin
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -485,4 +502,4 @@ def _setup_hierarchy_native(
     if coarse_inv is None:
         coarse_inv = np.linalg.pinv(dense, rcond=1e-10)
     coarse_inv = jnp.asarray(coarse_inv.astype(dtype))
-    return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)
+    return AMGHierarchy(levels=levels, coarse_inv=coarse_inv, galerkin=True)

@@ -102,3 +102,33 @@ def test_jacobi_interp_improvement():
     it0 = _amg_pcg_iters(A, interp="direct")
     it1 = _amg_pcg_iters(A, interp="direct", interp_jacobi_passes=1, p_max_elmts=8)
     assert it1 <= it0 + 1
+
+
+def test_air_on_advection_dominated():
+    """AIR restriction on an upwind advection-diffusion problem
+    (par_restr.c's target class): plain Galerkin AMG-GMRES degrades as the
+    problem becomes advective; AIR stays fast."""
+    from hypre_tpu.krylov import gmres
+    from hypre_tpu.problems.laplacian import stencil_to_ell
+    from hypre_tpu.seq.ell import ell_spmv
+
+    n, eps = 32, 1e-3
+    # -eps*Lap + u_x with first-order upwinding (flow in +x)
+    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+    coeffs = [4 * eps + 1.0, -eps - 1.0, -eps, -eps, -eps]
+    A = stencil_to_ell((n, n), offsets, coeffs)
+    b = jnp.ones(A.n_rows, A.dtype)
+    op = lambda v: ell_spmv(A, v)
+
+    amg_t = BoomerAMG(relax="l1-jacobi", setup_backend="jax").setup(A)
+    x0, i0 = gmres(op, b, M=amg_t.precond(), rtol=1e-8, maxiter=300)
+
+    amg_air = BoomerAMG(
+        relax="l1-jacobi", restrict_type="air", interp="direct",
+        setup_backend="jax",
+    ).setup(A)
+    x1, i1 = gmres(op, b, M=amg_air.precond(), rtol=1e-8, maxiter=300)
+    assert bool(i1.converged), f"AIR did not converge: {i1}"
+    r = b - op(x1)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+    assert int(i1.iterations) <= max(int(i0.iterations), 12)
