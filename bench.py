@@ -85,7 +85,7 @@ def main():
     # fast-TPU-solve configuration; see hypre benchmark_ij.jobs cases 17+
     # for hypre's own agg_nl runs) ---
     t0 = time.perf_counter()
-    amg = BoomerAMG(agg_num_levels=1).setup(A)
+    amg = BoomerAMG(agg_num_levels=1, nongalerkin_tol=0.02).setup(A)
     jax.block_until_ready(amg.hierarchy.coarse_inv)
     setup_s = time.perf_counter() - t0
     log(f"AMG setup: {setup_s:.3f}s")

@@ -62,6 +62,9 @@ class BoomerAMG:
     # 'transpose' (Galerkin R = P^T) | 'air' (approximate ideal restriction,
     # par_restr.c — for nonsymmetric/advective problems; pair with GMRES)
     restrict_type: str = "transpose"
+    # drop coarse-level entries |a_ij| < tol*sqrt(a_ii a_jj) with diagonal
+    # lumping (par_nongalerkin.c; hypre HYPRE_BoomerAMGSetNonGalerkinTol)
+    nongalerkin_tol: float = 0.0
     cheby_order: int = 2
     cheby_ratio: float = 0.3
 
@@ -129,6 +132,7 @@ class BoomerAMG:
             setup_backend=self.setup_backend,
             agg_num_levels=self.agg_num_levels,
             restrict_type=self.restrict_type,
+            nongalerkin_tol=self.nongalerkin_tol,
         )
 
     # -- solver interfaces ---------------------------------------------------

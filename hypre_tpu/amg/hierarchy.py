@@ -87,6 +87,7 @@ def setup_hierarchy(
     setup_backend: str = "auto",
     agg_num_levels: int = 0,
     restrict_type: str = "transpose",
+    nongalerkin_tol: float = 0.0,
 ) -> AMGHierarchy:
     """Build the multigrid hierarchy (BoomerAMG setup phase).
 
@@ -112,6 +113,8 @@ def setup_hierarchy(
             and restrict_type == "transpose"
             and _native.available()
         )
+        if nongalerkin_tol > 0 and not covered:
+            raise ValueError("nongalerkin_tol requires the native setup path")
         if agg_num_levels > 0 and not covered:
             raise ValueError(
                 "aggressive coarsening requires the native setup backend"
@@ -130,6 +133,7 @@ def setup_hierarchy(
             coarsen_rtol=coarsen_rtol,
             interp=interp,
             agg_num_levels=agg_num_levels,
+            nongalerkin_tol=nongalerkin_tol,
         )
     need_cheby = relax == "chebyshev"
     levels: List[Level] = []
@@ -379,6 +383,7 @@ def _setup_hierarchy_native(
     coarsen_rtol: float,
     interp: str = "ext+i",
     agg_num_levels: int = 0,
+    nongalerkin_tol: float = 0.0,
 ) -> AMGHierarchy:
     """hypre_BoomerAMGSetup via the native kernels: the level loop stays in
     host CSR arrays end-to-end; ELL device slabs are built once per level."""
@@ -450,6 +455,8 @@ def _setup_hierarchy_native(
                     )
                 n_coarse = n2
         (Tp, Tj, Tx), (Cp, Cj, Cx) = rap(n, n_coarse, Ap, Aj, Ax, Pp, Pj, Px)
+        if nongalerkin_tol > 0:
+            Cp, Cj, Cx = _nongalerkin_sparsify(n_coarse, Cp, Cj, Cx, nongalerkin_tol)
 
         P_ell = _csr_to_ell_device(n, n_coarse, Pp, Pj, Px, dtype)
         Pt_ell = _csr_to_ell_device(n_coarse, n, Tp, Tj, Tx, dtype)
@@ -503,3 +510,27 @@ def _setup_hierarchy_native(
         coarse_inv = np.linalg.pinv(dense, rcond=1e-10)
     coarse_inv = jnp.asarray(coarse_inv.astype(dtype))
     return AMGHierarchy(levels=levels, coarse_inv=coarse_inv, galerkin=True)
+
+
+def _nongalerkin_sparsify(n, Cp, Cj, Cx, tol):
+    """Non-Galerkin coarse-operator sparsification (par_nongalerkin.c idea,
+    simplified): drop off-diagonal entries |a_ij| < tol*sqrt(|a_ii a_jj|)
+    and lump them onto the diagonal — row sums (constants) are preserved,
+    the coarse stencil shrinks, and the TPU gather kernels get narrower
+    slots and windows."""
+    import numpy as np
+
+    rows = np.repeat(np.arange(n), np.diff(Cp))
+    diag = np.zeros(n)
+    dm = Cj == rows
+    np.add.at(diag, rows[dm], Cx[dm])
+    scale = np.sqrt(np.abs(diag[rows]) * np.abs(diag[Cj])) + 1e-300
+    keep = dm | (np.abs(Cx) >= tol * scale)
+    lump = np.zeros(n)
+    np.add.at(lump, rows[~keep], Cx[~keep])
+    Cx = Cx.copy()
+    Cx[dm] += lump[rows[dm]]
+    new_counts = np.bincount(rows[keep], minlength=n).astype(np.int32)
+    Np = np.zeros(n + 1, np.int32)
+    np.cumsum(new_counts, out=Np[1:])
+    return Np, Cj[keep].astype(np.int32), Cx[keep]
