@@ -103,10 +103,12 @@ def main():
 
     x, info = solve(amg.hierarchy, Afast, b)  # compile + first run
     jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    x, info = solve(amg.hierarchy, Afast, b)
-    jax.block_until_ready(x)
-    solve_s = time.perf_counter() - t0
+    solve_s = float("inf")  # min of 3 (tunnel timing is bimodal)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x, info = solve(amg.hierarchy, Afast, b)
+        jax.block_until_ready(x)
+        solve_s = min(solve_s, time.perf_counter() - t0)
     r = b - ell_spmv(A, x)
     true_rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
     log(
@@ -117,6 +119,39 @@ def main():
     log(
         f"solve-only vs hypre: {HYPRE_SOLVE_S/solve_s:.2f}x; "
         f"setup+solve vs hypre: {(HYPRE_SETUP_S+HYPRE_SOLVE_S)/(setup_s+solve_s):.3f}x"
+    )
+
+    # higher-accuracy tier: device-resident two-float iterative refinement
+    # (hypre's tolerances are f64; this reaches ~1e-4 true — the f32 SpMV
+    # rounding floor — entirely on device; hypre_tpu.refine.refine_solve
+    # gives full f64 truth via host residuals when needed)
+    import numpy as np
+
+    from hypre_tpu.refine import make_device_refiner
+
+    def inner(Af, hier, r):
+        M = lambda rr: amg_cycle(hier, rr, smoother=smoother)
+        return pcg(lambda v: Af.mv(v), r, M=M, rtol=3e-4, maxiter=40)
+
+    refined = make_device_refiner(inner, passes=3)
+    xh, xl, _ = refined(Afast, amg.hierarchy, b)
+    jax.block_until_ready(xh)
+    refined_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xh, xl, _ = refined(Afast, amg.hierarchy, b)
+        jax.block_until_ready(xh)
+        refined_s = min(refined_s, time.perf_counter() - t0)
+    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    from hypre_tpu import native as _nat
+    from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays as _e2c
+
+    _n, _Ap, _Aj, _Ax = _e2c(A)
+    rres = np.ones(_n) - _nat.matvec(_n, _Ap, _Aj, _Ax, x64)
+    rel_ref = float(np.linalg.norm(rres) / np.sqrt(_n))
+    log(
+        f"two-float refined solve: {refined_s:.3f}s, true rel {rel_ref:.2e} "
+        f"— {HYPRE_SOLVE_S/refined_s:.2f}x hypre solve"
     )
 
     total = setup_s + solve_s
@@ -132,6 +167,8 @@ def main():
                 "solve_vs_baseline": round(HYPRE_SOLVE_S / solve_s, 4),
                 "iterations": int(info.iterations),
                 "true_rel_res": true_rel,
+                "refined_solve_seconds": round(refined_s, 4),
+                "refined_true_rel_res": rel_ref,
             }
         )
     )

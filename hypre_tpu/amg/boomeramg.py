@@ -65,6 +65,9 @@ class BoomerAMG:
     # drop coarse-level entries |a_ij| < tol*sqrt(a_ii a_jj) with diagonal
     # lumping (par_nongalerkin.c; hypre HYPRE_BoomerAMGSetNonGalerkinTol)
     nongalerkin_tol: float = 0.0
+    # banded-gather matmul accuracy inside the V-cycle: 0 single-pass bf16
+    # (fastest), 1 hi/lo split (~1e-6), 2 f32-exact (seq/fastmv.py)
+    gather_precision: int = 0
     cheby_order: int = 2
     cheby_ratio: float = 0.3
 
@@ -104,13 +107,17 @@ class BoomerAMG:
                     # analysis reads the index arrays, so do it before the
                     # device transfer (seq/fastmv.py)
                     self.hierarchy = optimize_hierarchy(
-                        self.hierarchy, prefer_pallas=target.platform == "tpu"
+                        self.hierarchy,
+                        prefer_pallas=target.platform == "tpu",
+                        gather_precision=self.gather_precision,
                     )
             self.hierarchy = jax.device_put(self.hierarchy, target)
         else:
             self._do_setup(A)
             if optimize:
-                self.hierarchy = optimize_hierarchy(self.hierarchy)
+                self.hierarchy = optimize_hierarchy(
+                    self.hierarchy, gather_precision=self.gather_precision
+                )
 
         self._smoother = make_smoother(
             self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio

@@ -249,3 +249,56 @@ def hmis(A: EllMatrix, S: jax.Array, global_row_offset: int | jax.Array = 0) -> 
     if bool(jnp.any(bad)):
         cf = jnp.where(bad, C_PT, cf)
     return cf
+
+
+# ---------------------------------------------------------------------------
+# Compatible-relaxation coarsening (par_cr.c, coarsen types 98/99)
+# ---------------------------------------------------------------------------
+
+
+def cr(
+    A: EllMatrix,
+    S: jax.Array,
+    num_relax: int = 5,
+    theta_cr: float = 0.7,
+    max_rounds: int = 10,
+) -> jax.Array:
+    """Compatible relaxation (Brandt; hypre par_cr.c): points where
+    F-relaxation on A e = 0 contracts slowly are promoted to C.
+
+    Each round runs ``num_relax`` F-point Jacobi sweeps on the homogeneous
+    system from a deterministic-random error; points whose error decays
+    slower than ``theta_cr`` per round join the coarse grid, seeded by a
+    PMIS pass over the remaining slow points to keep C sets independent.
+    """
+    n, _ = A.cols.shape
+    diag = A.diagonal()
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    cf = jnp.full(n, F_PT, jnp.int32)
+    e0 = hash_rand01(jnp.arange(n, dtype=jnp.int32)).astype(A.dtype) - 0.5
+
+    for _ in range(max_rounds):
+        is_f = cf == F_PT
+        e = jnp.where(is_f, e0, 0.0)
+        before = jnp.abs(e)
+        for _ in range(num_relax):
+            # F-relaxation: Jacobi on F points, C points pinned to 0
+            e = jnp.where(is_f, e - dinv * A.mv(e), 0.0)
+        after = jnp.abs(e)
+        # per-point contraction factor over the sweep block
+        ratio = (after / jnp.maximum(before, 1e-30)) ** (1.0 / num_relax)
+        slow = is_f & (ratio > theta_cr)
+        n_slow = int(jnp.sum(slow))
+        if n_slow == 0:
+            break
+        # independent subset of the slow points becomes C (hypre seeds its
+        # next candidate set the same way)
+        sub_S = S & slow[jnp.maximum(A.cols, 0)] & slow[:, None]
+        cand_cf = pmis(A, sub_S)
+        newly_c = slow & (cand_cf == C_PT)
+        # isolated slow points (no slow strong neighbors) also become C
+        newly_c = newly_c | (slow & ~jnp.any(sub_S, axis=1))
+        if int(jnp.sum(newly_c)) == 0:
+            newly_c = slow
+        cf = jnp.where(newly_c, C_PT, cf)
+    return cf

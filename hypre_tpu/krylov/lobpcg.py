@@ -32,6 +32,11 @@ def _whiten(M: jax.Array, cutoff: float):
     """
     w, V = jnp.linalg.eigh(M)
     wmax = jnp.maximum(jnp.max(w), 1e-300)
+    # never let the cutoff drop below the eigh noise floor of the working
+    # precision: f32 Gram eigenvalues carry ~1e-6 relative error and a
+    # smaller cutoff admits tiny negatives into the 1/sqrt (NaNs)
+    eps = jnp.finfo(M.dtype).eps
+    cutoff = jnp.maximum(cutoff, 50 * eps)
     keep = w > cutoff * wmax
     inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
     return V * inv_sqrt[None, :], keep  # M^{-1/2} = V diag(w^-1/2)

@@ -352,18 +352,26 @@ def try_banded(
     )
 
 
+# below this many gathered elements the XLA take-gather costs < ~2 ms and
+# is EXACT — the bf16 one-hot kernel would only add rounding (which wrecks
+# deeply composed preconditioners like ADS/AME) and compile time
+MIN_BANDED_ELEMENTS = 262144
+
+
 def optimize_operator(
     A: EllMatrix, prefer_pallas: bool | None = None, exact: int = 1
 ):
     """Pick the fastest SpMV representation for this matrix on this backend
     (the role of hypre's SetSpGemmUseVendor/exec-policy knobs, collapsed
-    into one analysis). exact=False allows the fast bf16 gather — use for
-    preconditioner-internal operators only."""
+    into one analysis). exact<2 allows bf16 gather rounding — fine for
+    V-cycle internals on large operators, skipped below the size floor."""
     from hypre_tpu.seq.dia import try_dia
 
     dia = try_dia(A)
     if dia is not None:
         return dia
+    if A.n_rows * A.k < MIN_BANDED_ELEMENTS:
+        return A
     if prefer_pallas is None:
         prefer_pallas = jax.default_backend() == "tpu"
     if prefer_pallas:
