@@ -299,6 +299,8 @@ void extpi_numeric(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
     std::vector<f64> w(n, 0.0);
     std::vector<i32> marker(n, -1);
     std::vector<i32> cols;
+    std::vector<i32> jc_buf;   // strong-C columns of the neighbor row
+    std::vector<f64> ja_buf;   // their a_hat values
 #pragma omp for schedule(dynamic, 256)
     for (i32 i = 0; i < n; ++i) {
       if (cf[i] == 1) {
@@ -307,7 +309,6 @@ void extpi_numeric(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
         continue;
       }
       cols.clear();
-      f64 sign_i = diag[i] >= 0 ? 1.0 : -1.0;
       f64 d_eff = diag[i];
       for (i32 p = Ap[i]; p < Ap[i + 1]; ++p) {
         i32 j = Aj[p];
@@ -320,29 +321,32 @@ void extpi_numeric(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
         if (cf[j] == 1) {       // strong C: direct candidate
           if (marker[j] != i) { marker[j] = i; w[j] = 0.0; cols.push_back(j); }
           w[j] += a_ij;
-        } else {                // strong F: distribute through row j
+        } else {                // strong F: distribute through row j —
+          // single scan of row j caching its strong-C a_hat entries
           f64 sign_j = diag[j] >= 0 ? 1.0 : -1.0;
-          // theta_j = sum over strong-C of row j of a_hat + a_hat_ji
           f64 theta = 0.0, back = 0.0;
+          jc_buf.clear();
+          ja_buf.clear();
           for (i32 q = Ap[j]; q < Ap[j + 1]; ++q) {
             f64 ahat = (Ax[q] * sign_j < 0) ? Ax[q] : 0.0;
-            if (S_mask[q] && cf[Aj[q]] == 1) theta += ahat;
             if (Aj[q] == i) back += ahat;
+            if (ahat != 0.0 && S_mask[q] && cf[Aj[q]] == 1) {
+              theta += ahat;
+              jc_buf.push_back(Aj[q]);
+              ja_buf.push_back(ahat);
+            }
           }
           theta += back;
           if (theta == 0.0) { d_eff += a_ij; continue; }
           d_eff += a_ij * back / theta;
-          for (i32 q = Ap[j]; q < Ap[j + 1]; ++q) {
-            if (!(S_mask[q] && cf[Aj[q]] == 1)) continue;
-            f64 ahat = (Ax[q] * sign_j < 0) ? Ax[q] : 0.0;
-            if (ahat == 0.0) continue;
-            i32 c = Aj[q];
+          f64 scale = a_ij / theta;
+          for (size_t t = 0; t < jc_buf.size(); ++t) {
+            i32 c = jc_buf[t];
             if (marker[c] != i) { marker[c] = i; w[c] = 0.0; cols.push_back(c); }
-            w[c] += a_ij * ahat / theta;
+            w[c] += scale * ja_buf[t];
           }
         }
       }
-      (void)sign_i;
       std::sort(cols.begin(), cols.end());
       f64 d_safe = d_eff != 0.0 ? d_eff : 1.0;
       i32 out = Pp[i];
