@@ -13,12 +13,15 @@ the flat concatenated index space, and an SStructVector IS the flat vector
 
 - Split (HYPRE_SStructSplit*, block-diagonal per-part struct solves),
 - SysPFMG (sys_pfmg*.c, PFMG for multi-variable systems on one part),
+- FAC (fac*.c, AMR composite grids with patch relaxation + Galerkin
+  coarse correction; composite-Poisson assembly helper included),
 - any Krylov solver via ``as_linear_op`` (krylov_sstruct.c glue).
 
-FAC (AMR composite) and Maxwell remain future work.
+Maxwell (edge/nodal AMR) remains future work.
 """
 
 from hypre_tpu.sstruct.grid import SStructGrid
 from hypre_tpu.sstruct.matrix import SStructMatrix
 from hypre_tpu.sstruct.split import SplitSolver
 from hypre_tpu.sstruct.syspfmg import SysPFMG, SysStructMatrix
+from hypre_tpu.sstruct.fac import FAC

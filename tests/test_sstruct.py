@@ -109,3 +109,40 @@ def test_syspfmg_as_preconditioner():
     x, info = pcg(A.as_linear_op(), b, M=sp.precond(), rtol=1e-8, maxiter=60)
     assert bool(info.converged)
     assert int(info.iterations) <= 15
+
+
+def test_fac_composite_poisson():
+    """FAC on a composite AMR grid (sstruct_ls/fac*.c analogue): a 12x12
+    coarse grid with a 2x-refined central patch, conservative interface
+    fluxes. FAC must converge fast standalone and match the dense solve."""
+    import numpy as np
+
+    from hypre_tpu.sstruct.fac import FAC, composite_poisson_2d
+    from hypre_tpu.seq.ell import ell_spmv, ell_to_csr
+
+    A, fine_mask, parent, (nfine, n) = composite_poisson_2d(
+        12, (4, 4), (8, 8)
+    )
+    fac = FAC().setup(A, fine_mask, parent)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    x, info = fac.solve(b, rtol=1e-8, maxiter=60)
+    assert bool(info.converged), f"{info}"
+    r = b - ell_spmv(A, x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-7
+    assert int(info.iterations) <= 30
+    want = np.linalg.solve(ell_to_csr(A).to_dense(), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-5, atol=1e-7)
+
+
+def test_fac_as_pcg_preconditioner():
+    import numpy as np
+
+    from hypre_tpu.sstruct.fac import FAC, composite_poisson_2d
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A, fine_mask, parent, _ = composite_poisson_2d(10, (3, 3), (7, 7))
+    fac = FAC().setup(A, fine_mask, parent)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(lambda v: ell_spmv(A, v), b, M=fac.precond(), rtol=1e-8)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 15
