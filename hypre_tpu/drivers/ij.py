@@ -18,6 +18,7 @@ SOLVER_HELP = """solver ids (ij.c:2022-2046 subset):
   0 = AMG            1 = AMG-PCG        2 = DS-PCG        3 = AMG-GMRES
   4 = DS-GMRES       5 = AMG-CGNR       6 = DS-CGNR       8 = ParaSails-PCG
   9 = AMG-BiCGSTAB  10 = DS-BiCGSTAB   12 = Schwarz-PCG  16 = AMG-COGMRES
+ 13 = GSMG          14 = GSMG-PCG    15 = GSMG-GMRES
  18 = ParaSails-GMRES  20 = Hybrid     31 = FSAI-PCG     50 = AMG-LGMRES
  60 = AMG-FlexGMRES   70 = MGR-GMRES   80 = ILU-GMRES"""
 
@@ -173,6 +174,17 @@ def run(argv) -> tuple[int, float]:
         x, info = bicgstab(op, b, M=lambda r: dinv * r, **kw)
     elif s == 12:
         x, info = pcg(op, b, M=Schwarz().setup(A).precond(), **kw)
+    elif s in (13, 14, 15):
+        from hypre_tpu.amg.gsmg import GSMG
+
+        gs = GSMG(strength_threshold=a["theta"], p_max_elmts=a["pmx"])
+        gs.setup(A)
+        if s == 13:
+            x, info = gs.solve(b, rtol=a["tol"], maxiter=a["max_iter"])
+        elif s == 14:
+            x, info = pcg(op, b, M=gs.precond(), **kw)
+        else:
+            x, info = gmres(op, b, M=gs.precond(), k_dim=a["k_dim"], **kw)
     elif s == 16:
         x, info = cogmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
     elif s == 18:

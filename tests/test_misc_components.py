@@ -93,3 +93,17 @@ def test_timing_registry():
         sum(range(1000))
     rep = reg.report()
     assert "setup" in rep and reg._count["setup"] == 2
+
+
+def test_gsmg_solves_laplacian():
+    """GSMG (par_gsmg.c, driver solvers 13-15): smoothed-vector LS
+    interpolation must give a working hierarchy on the Laplacian."""
+    from hypre_tpu.amg.gsmg import GSMG
+
+    A = laplacian_2d_5pt(32, 32)
+    gs = GSMG(max_coarse_size=64)
+    gs.setup(A, optimize=False)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(lambda v: ell_spmv(A, v), b, M=gs.precond(), rtol=1e-8, maxiter=60)
+    assert bool(info.converged), f"{info}"
+    assert int(info.iterations) <= 20
