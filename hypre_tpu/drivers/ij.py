@@ -20,7 +20,8 @@ SOLVER_HELP = """solver ids (ij.c:2022-2046 subset):
   9 = AMG-BiCGSTAB  10 = DS-BiCGSTAB   12 = Schwarz-PCG  16 = AMG-COGMRES
  13 = GSMG          14 = GSMG-PCG    15 = GSMG-GMRES
  18 = ParaSails-GMRES  20 = Hybrid     31 = FSAI-PCG     50 = AMG-LGMRES
- 60 = AMG-FlexGMRES   70 = MGR-GMRES   80 = ILU-GMRES"""
+ 60 = AMG-FlexGMRES   70 = MGR-GMRES   80 = ILU-GMRES
+ 90 = AMG-DD        91 = AMG-DD-GMRES"""
 
 
 def parse_args(argv):
@@ -202,6 +203,14 @@ def run(argv) -> tuple[int, float]:
         x, info = gmres(op, b, M=MGR().setup(A, [cpts]).precond(), **kw)
     elif s == 80:
         x, info = gmres(op, b, M=ILU().setup(A).precond(), **kw)
+    elif s in (90, 91):
+        from hypre_tpu.parallel.amgdd import AMGDD
+
+        dd = AMGDD(padding=2).setup(A, num_devices=4)
+        if s == 90:
+            x, info = dd.solve(b, rtol=a["tol"], maxiter=a["max_iter"])
+        else:
+            x, info = gmres(op, b, M=dd.precond(), k_dim=a["k_dim"], **kw)
     else:
         raise SystemExit(f"unsupported solver id {s}\n{SOLVER_HELP}")
 
