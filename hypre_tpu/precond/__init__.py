@@ -7,5 +7,6 @@ matmul/Cholesky in one vmapped kernel, replacing hypre's per-row loops in
 
 from hypre_tpu.precond.fsai import FSAI
 from hypre_tpu.precond.parasails import ParaSails
-from hypre_tpu.precond.ilu import ILU
+from hypre_tpu.precond.ilu import ILU, ILUT
+from hypre_tpu.precond.euclid import Euclid, PILUT
 from hypre_tpu.precond.schwarz import Schwarz

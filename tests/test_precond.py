@@ -150,3 +150,43 @@ def test_bsr_roundtrip_and_block_jacobi():
     dinv = 1.0 / A.diagonal()
     it_pt = _iters(A, lambda r: dinv * r, solver=gmres)
     assert it_blk <= it_pt
+
+
+def test_ilut_pcg(lap, base_iters):
+    from hypre_tpu.precond import ILUT
+
+    # tau-only and dual-threshold ILUT must both beat diagonal scaling;
+    # fill (grown pattern) should beat same-tolerance ILU(0)-pattern ILUT
+    it_fill = _iters(lap, ILUT(drop_tol=1e-2, max_row_nnz=8).setup(lap).precond())
+    it_f0 = _iters(lap, ILUT(drop_tol=1e-2, fill_level=0).setup(lap).precond())
+    assert it_fill < base_iters
+    assert it_f0 < base_iters
+    assert it_fill <= it_f0
+
+
+def test_ilut_respects_row_cap(lap):
+    from hypre_tpu.precond import ILUT
+
+    M = ILUT(drop_tol=0.0, max_row_nnz=2).setup(lap)
+    l_nnz = jnp.sum(M.L.cols >= 0, axis=1)
+    rows = jnp.arange(M.U.cols.shape[0])[:, None]
+    u_off_nnz = jnp.sum((M.U.cols >= 0) & (M.U.cols != rows), axis=1)
+    assert int(jnp.max(l_nnz)) <= 3      # cap + threshold-tie tolerance
+    assert int(jnp.max(u_off_nnz)) <= 3
+
+
+def test_euclid_pcg(lap, base_iters):
+    from hypre_tpu.precond import Euclid
+
+    it = _iters(lap, Euclid(level=1).setup(lap).precond())
+    assert it < base_iters
+    # block-Jacobi mode stays a valid (weaker) preconditioner
+    it_bj = _iters(lap, Euclid(level=0, bj=4, row_scale=True).setup(lap).precond())
+    assert it_bj < 2000
+
+
+def test_pilut_pcg(lap, base_iters):
+    from hypre_tpu.precond import PILUT
+
+    it = _iters(lap, PILUT(factor_row_size=8, drop_tolerance=1e-3).setup(lap).precond())
+    assert it < base_iters
