@@ -43,8 +43,8 @@ class BoomerAMG:
     max_coarse_size: int = 1500
     p_max_elmts: int = 4
     trunc_factor: float = 0.0
-    coarsen_type: str = "pmis"  # 'pmis' | 'cljp' | 'ruge' | 'falgout' | 'hmis'
-    interp: str = "ext+i"  # 'ext+i' | 'direct' | 'classical'
+    coarsen_type: str = "pmis"  # 'pmis' | 'cljp' | 'ruge' | 'falgout' | 'hmis' | 'cgc'
+    interp: str = "ext+i"  # 'ext+i' | 'direct' | 'classical' | 'multipass'
     interp_jacobi_passes: int = 0  # par_jacobi_interp.c improvement passes
     # chebyshev(2) + ext+i reproduces hypre's golden AMG-PCG iteration counts
     # (7 iters on the 5-pt Laplacian, TEST_ij/solvers.saved:1-3) with only

@@ -302,3 +302,136 @@ def cr(
             newly_c = slow
         cf = jnp.where(newly_c, C_PT, cf)
     return cf
+
+
+# ---------------------------------------------------------------------------
+# CGC — coarse grid classification (par_cgc_coarsen.c, coarsen types 21/22)
+# ---------------------------------------------------------------------------
+
+
+def cgc(
+    A: EllMatrix,
+    S: jax.Array,
+    num_candidates: int = 4,
+    n_blocks: int = 0,
+    cc_penalty: float = 2.0,
+) -> jax.Array:
+    """Coarse-grid-classification coarsening (Griebel/Metsch/Schweitzer;
+    hypre_BoomerAMGCoarsenCGC, ``parcsr_ls/par_cgc_coarsen.c``, coarsen
+    types 21/22).
+
+    The reference has each MPI rank build several candidate RS coarse grids,
+    then solves a global weighted-graph problem choosing one candidate per
+    rank so the grids fit together at rank boundaries (few strong C-C
+    couplings across the cut, every boundary F point covered by some C).
+    Here the "ranks" are contiguous row blocks of the shard: each block runs
+    the RS first pass restricted to intra-block strong edges with
+    ``num_candidates`` different tie-breaking perturbations (the reference
+    derives candidates from repeated RS passes; perturbed tie-breaking
+    produces the same kind of family with one code path), then a greedy
+    sweep over blocks picks the candidate minimizing
+
+        cc_penalty * (#cross strong C-C pairs) + (#uncovered cross F points)
+
+    against already-fixed neighbors. A final PMIS-style cleanup promotes any
+    strong F point left without a strong C dependency (same repair HMIS
+    uses).
+    """
+    import numpy as np
+
+    Sh = np.asarray(S)
+    cols = np.asarray(A.cols)
+    n, k = cols.shape
+    if n_blocks <= 0:
+        n_blocks = int(min(max(n // 256, 1), 8))
+    bounds = np.linspace(0, n, n_blocks + 1).astype(np.int64)
+    block_of = np.zeros(n, np.int64)
+    for b in range(n_blocks):
+        block_of[bounds[b]:bounds[b + 1]] = b
+
+    # strong edge list (i -> j)
+    ei, ea = np.nonzero(Sh)
+    ej = cols[ei, ea]
+    intra = block_of[ei] == block_of[ej]
+    cross_i, cross_j = ei[~intra], ej[~intra]
+
+    def rs_block(lo: int, hi: int, seed: int) -> np.ndarray:
+        """RS first pass on rows [lo,hi) over intra-block strong edges, with
+        seed-perturbed tie-breaking."""
+        import heapq
+
+        idx = np.arange(lo, hi)
+        dep = {i: [] for i in idx}
+        inf = {i: [] for i in idx}
+        for i, j in zip(ei[intra], ej[intra]):
+            if lo <= i < hi:
+                dep[i].append(j)
+                inf[j].append(i)
+        rng = np.random.RandomState(12345 + seed)
+        tie = rng.permutation(hi - lo)
+        measure = {i: len(inf[i]) * (hi - lo) + int(tie[i - lo]) for i in idx}
+        cf = np.zeros(n, np.int32)
+        heap = [(-measure[i], i) for i in idx]
+        heapq.heapify(heap)
+        while heap:
+            negm, i = heapq.heappop(heap)
+            if cf[i] != UNDECIDED or -negm != measure[i]:
+                continue
+            if measure[i] < (hi - lo):  # no influence left
+                cf[i] = F_PT
+                continue
+            cf[i] = C_PT
+            for j in inf[i]:
+                if cf[j] == UNDECIDED:
+                    cf[j] = F_PT
+                    for l in dep[j]:
+                        if cf[l] == UNDECIDED:
+                            measure[l] += hi - lo
+                            heapq.heappush(heap, (-measure[l], l))
+            for j in dep[i]:
+                if cf[j] == UNDECIDED:
+                    measure[j] -= hi - lo
+                    heapq.heappush(heap, (-measure[j], j))
+        cf[lo:hi][cf[lo:hi] == UNDECIDED] = F_PT
+        return cf[lo:hi]
+
+    cands = [
+        [rs_block(int(bounds[b]), int(bounds[b + 1]), c)
+         for c in range(num_candidates)]
+        for b in range(n_blocks)
+    ]
+
+    def score(cf_full: np.ndarray, b: int, cand: np.ndarray) -> float:
+        """Cost of picking `cand` for block b against currently-fixed blocks."""
+        trial = cf_full.copy()
+        trial[bounds[b]:bounds[b + 1]] = cand
+        m = (block_of[cross_i] == b) | (block_of[cross_j] == b)
+        ti, tj = cross_i[m], cross_j[m]
+        fixed = (trial[ti] != UNDECIDED) & (trial[tj] != UNDECIDED)
+        ti, tj = ti[fixed], tj[fixed]
+        cc = np.sum((trial[ti] == C_PT) & (trial[tj] == C_PT))
+        # cross F points in b's frontier with no strong C neighbor anywhere
+        fpts = np.unique(ti[trial[ti] == F_PT])
+        uncov = 0
+        for i in fpts:
+            nbr = cols[i][Sh[i]]
+            if not np.any(trial[nbr] == C_PT):
+                uncov += 1
+        return cc_penalty * float(cc) + float(uncov)
+
+    cf_full = np.zeros(n, np.int32)
+    # fix blocks in order of most cross edges first (most constrained)
+    cross_count = np.bincount(block_of[cross_i], minlength=n_blocks)
+    order = np.argsort(-cross_count)
+    for b in order:
+        best = min(range(num_candidates),
+                   key=lambda c: score(cf_full, b, cands[b][c]))
+        cf_full[bounds[b]:bounds[b + 1]] = cands[b][best]
+
+    cf = jnp.asarray(cf_full)
+    # repair: strong F points without a strong C dependency become C
+    cols_c = jnp.maximum(A.cols, 0)
+    dep_on_c = jnp.any(S & (cf[cols_c] == C_PT), axis=1)
+    has_strong = jnp.any(S, axis=1)
+    bad = (cf == F_PT) & has_strong & ~dep_on_c
+    return jnp.where(bad, C_PT, cf)

@@ -22,10 +22,10 @@ from typing import Callable, List, Optional
 import jax
 import jax.numpy as jnp
 
-from hypre_tpu.amg.coarsen import cljp, coarse_map, hmis, pmis, ruge_stuben
+from hypre_tpu.amg.coarsen import cgc, cljp, coarse_map, hmis, pmis, ruge_stuben
 from hypre_tpu.amg.interp import (
     classical_interp, direct_interp, ext_plus_i_interp, jacobi_improve_interp,
-    truncate_interp,
+    multipass_interp, truncate_interp,
 )
 from hypre_tpu.amg.relax import (
     chebyshev, jacobi, kaczmarz, l1_jacobi, l1_norms, max_eig_estimate,
@@ -144,6 +144,7 @@ def setup_hierarchy(
         "ruge": lambda A_, S_: ruge_stuben(A_, S_),
         "falgout": lambda A_, S_: ruge_stuben(A_, S_),
         "hmis": hmis,
+        "cgc": lambda A_, S_: cgc(A_, S_),
     }
     if coarsen not in coarsen_fns:
         raise ValueError(f"unknown coarsen type: {coarsen!r}")
@@ -170,6 +171,9 @@ def setup_hierarchy(
             P = direct_interp(A, S, cf, cmap, n_coarse)
         elif interp == "classical":
             P = classical_interp(A, S, cf, cmap, n_coarse)
+        elif interp == "multipass":
+            P = multipass_interp(A, S, cf, cmap, n_coarse,
+                                 p_max_elmts=p_max_elmts)
         else:
             raise ValueError(f"unknown interp type: {interp!r}")
         if interp_jacobi_passes > 0:

@@ -390,3 +390,118 @@ def jacobi_improve_interp(
         P = ell_add(1.0, P, -1.0, AP)
         P = truncate_interp(P, max_elmts=max_elmts, trunc_factor=trunc_factor)
     return P
+
+
+# ---------------------------------------------------------------------------
+# Multipass interpolation (par_multi_interp.c; interp_type 4)
+# ---------------------------------------------------------------------------
+
+
+def multipass_interp(
+    A: EllMatrix,
+    S: jax.Array,
+    cf: jax.Array,
+    cmap: jax.Array,
+    n_coarse: int,
+    p_max_elmts: int = 0,
+) -> EllMatrix:
+    """True multipass interpolation (hypre_BoomerAMGBuildMultipass,
+    ``parcsr_ls/par_multi_interp.c``; GPU twin ``par_mod_multi_interp.c``):
+    the interpolation that makes aggressively-coarsened grids work, where F
+    points can sit at graph distance > 1 from every C point.
+
+    Pass assignment: C points are pass 0; F points with a strong C neighbor
+    are pass 1 (direct interpolation); a pass-p F point reaches C only
+    through strong pass-(p-1) neighbors, so its row is the weighted
+    combination of theirs:
+
+        w_i = -(1/a_ii) * sum_{k in S_i, pass(k) < p} a_ik * P_k
+
+    rescaled so the row sum equals -(sum of all off-diagonal a_ik)/a_ii
+    (the constant-preserving normalization hypre applies per pass).
+
+    Irregular wavefront construction -> host numpy at setup time, like the
+    RS-family coarsenings; rows are truncated to ``p_max_elmts`` largest
+    magnitudes (renormalized) as hypre's P_max_elmts does.
+    """
+    import numpy as np
+
+    Sh = np.asarray(S)
+    colsE = np.asarray(A.cols)
+    valsE = np.asarray(A.vals)
+    cfh = np.asarray(cf)
+    cmaph = np.asarray(cmap)
+    n, k = colsE.shape
+
+    diag = np.zeros(n)
+    offsum = np.zeros(n)
+    strong = [[] for _ in range(n)]  # (col, a_ij) strong entries
+    for i in range(n):
+        for a in range(k):
+            j = colsE[i, a]
+            if j < 0:
+                continue
+            v = valsE[i, a]
+            if j == i:
+                diag[i] += v
+            else:
+                offsum[i] += v
+                if Sh[i, a]:
+                    strong[i].append((int(j), float(v)))
+
+    dependents = [[] for _ in range(n)]  # reverse strong adjacency
+    for i in range(n):
+        for j, _ in strong[i]:
+            dependents[j].append(i)
+    passes = np.full(n, -1, np.int64)
+    passes[cfh == 1] = 0
+    frontier = np.nonzero(cfh == 1)[0].tolist()
+    p = 0
+    while frontier:
+        nxt = []
+        for j in frontier:
+            for i in dependents[j]:
+                if passes[i] < 0:
+                    passes[i] = p + 1
+                    nxt.append(i)
+        frontier = nxt
+        p += 1
+
+    rows: list[dict] = [dict() for _ in range(n)]
+    for i in np.nonzero(cfh == 1)[0]:
+        rows[i][int(cmaph[i])] = 1.0
+    max_pass = int(passes.max(initial=0))
+    for p in range(1, max_pass + 1):
+        for i in np.nonzero(passes == p)[0]:
+            d = diag[i] if diag[i] != 0 else 1.0
+            acc: dict = {}
+            for j, aij in strong[i]:
+                if 0 <= passes[j] < p and rows[j]:
+                    for c, w in rows[j].items():
+                        acc[c] = acc.get(c, 0.0) - aij * w / d
+            ssum = sum(acc.values())
+            target = -offsum[i] / d
+            if ssum != 0.0 and target != 0.0:
+                scale = target / ssum
+                acc = {c: w * scale for c, w in acc.items()}
+            if p_max_elmts and len(acc) > p_max_elmts:
+                keep = sorted(acc, key=lambda c: -abs(acc[c]))[:p_max_elmts]
+                kept = {c: acc[c] for c in keep}
+                ks = sum(kept.values())
+                if ks != 0.0 and ssum != 0.0:
+                    kept = {c: w * (target / ks) for c, w in kept.items()}
+                acc = kept
+            rows[i] = acc
+
+    width = max(max((len(r) for r in rows), default=1), 1)
+    pc = np.full((n, width), -1, np.int64)
+    pv = np.zeros((n, width))
+    for i, r in enumerate(rows):
+        for a, (c, w) in enumerate(sorted(r.items())):
+            pc[i, a] = c
+            pv[i, a] = w
+    return EllMatrix(
+        vals=jnp.asarray(pv, A.dtype),
+        cols=jnp.asarray(pc, jnp.int32),
+        n_cols=int(n_coarse),
+    )
