@@ -15,9 +15,9 @@ the flat concatenated index space, and an SStructVector IS the flat vector
 - SysPFMG (sys_pfmg*.c, PFMG for multi-variable systems on one part),
 - FAC (fac*.c, AMR composite grids with patch relaxation + Galerkin
   coarse correction; composite-Poisson assembly helper included),
+- Maxwell (maxwell_*.c, edge curl-curl systems with the discrete gradient
+  derived from the grid topology, solved through the auxiliary space),
 - any Krylov solver via ``as_linear_op`` (krylov_sstruct.c glue).
-
-Maxwell (edge/nodal AMR) remains future work.
 """
 
 from hypre_tpu.sstruct.grid import SStructGrid
@@ -25,3 +25,4 @@ from hypre_tpu.sstruct.matrix import SStructMatrix
 from hypre_tpu.sstruct.split import SplitSolver
 from hypre_tpu.sstruct.syspfmg import SysPFMG, SysStructMatrix
 from hypre_tpu.sstruct.fac import FAC
+from hypre_tpu.sstruct.maxwell import Maxwell, maxwell_grad

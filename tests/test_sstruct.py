@@ -146,3 +146,103 @@ def test_fac_as_pcg_preconditioner():
     x, info = pcg(lambda v: ell_spmv(A, v), b, M=fac.precond(), rtol=1e-8)
     assert bool(info.converged)
     assert int(info.iterations) <= 15
+
+
+# ---------------------------------------------------------------------------
+# Maxwell (sstruct_ls/maxwell_*.c analogue)
+# ---------------------------------------------------------------------------
+
+
+def _curl_curl_edges(nx, ny, beta=0.01):
+    """2-D edge curl-curl + beta*mass in the maxwell_grad edge ordering
+    (x-edges direction-major lexicographic, then y-edges)."""
+    import numpy as np
+    from hypre_tpu.seq.csr import HostCSR
+    from hypre_tpu.seq.ell import ell_from_dense
+
+    x_edges = nx * (ny + 1)
+
+    def xe(i, j):
+        return i * (ny + 1) + j
+
+    def ye(i, j):
+        return x_edges + i * ny + j
+
+    ne = x_edges + (nx + 1) * ny
+    crows, ccols, cvals = [], [], []
+    c = 0
+    for i in range(nx):
+        for j in range(ny):
+            for e, s in [(xe(i, j), 1.0), (ye(i + 1, j), 1.0),
+                         (xe(i, j + 1), -1.0), (ye(i, j), -1.0)]:
+                crows.append(c)
+                ccols.append(e)
+                cvals.append(s)
+            c += 1
+    C = HostCSR.from_coo(crows, ccols, np.asarray(cvals), (c, ne)).to_dense()
+    return ell_from_dense(C.T @ C + beta * np.eye(ne))
+
+
+def test_maxwell_grad_matches_hand_built_gradient():
+    import numpy as np
+    from hypre_tpu.sstruct.grid import SStructGrid
+    from hypre_tpu.sstruct.maxwell import maxwell_grad, part_edge_counts
+    from hypre_tpu.seq.ell import ell_to_csr
+
+    nx, ny = 3, 4
+    grid = SStructGrid(part_shapes=(((nx + 1), (ny + 1)),))
+    G, coords = maxwell_grad(grid)
+    assert part_edge_counts((nx + 1, ny + 1)) == [nx * (ny + 1), (nx + 1) * ny]
+    Gd = ell_to_csr(G).to_dense()
+    # x-edge (i,j): +1 at node(i+1,j), -1 at node(i,j)
+    node = lambda i, j: i * (ny + 1) + j
+    for i in range(nx):
+        for j in range(ny + 1):
+            e = i * (ny + 1) + j
+            assert Gd[e, node(i + 1, j)] == 1.0 and Gd[e, node(i, j)] == -1.0
+    # every row sums to zero (gradient of constants vanishes)
+    np.testing.assert_allclose(Gd.sum(axis=1), 0.0)
+    np.testing.assert_allclose(coords[node(2, 3)], [2.0, 3.0])
+
+
+def test_maxwell_beats_jacobi_on_curl_curl():
+    from hypre_tpu.krylov.pcg import pcg
+    from hypre_tpu.seq.ell import ell_spmv
+    from hypre_tpu.sstruct.grid import SStructGrid
+    from hypre_tpu.sstruct.maxwell import Maxwell
+
+    nx = ny = 8
+    A = _curl_curl_edges(nx, ny, beta=0.01)
+    grid = SStructGrid(part_shapes=((nx + 1, ny + 1),))
+    b = jnp.ones(A.n_rows, A.dtype)
+    mx = Maxwell(amg_knobs=dict(max_coarse_size=40)).setup(A, grid)
+    x, info = mx.solve(b, rtol=1e-8, maxiter=200)
+    assert bool(info.converged)
+    dinv = 1.0 / A.diagonal()
+    _, ij = pcg(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                rtol=1e-8, maxiter=2000)
+    assert int(info.iterations) < int(ij.iterations) // 2
+
+
+def test_maxwell_two_part_grid():
+    import numpy as np
+    from hypre_tpu.seq.ell import ell_from_dense, ell_to_csr
+    from hypre_tpu.sstruct.grid import SStructGrid
+    from hypre_tpu.sstruct.maxwell import Maxwell
+
+    n1, n2 = 4, 3
+    A1 = _curl_curl_edges(n1, n1, beta=0.05)
+    A2 = _curl_curl_edges(n2, n2, beta=0.05)
+    d1 = np.asarray(ell_to_csr(A1).to_dense())
+    d2 = np.asarray(ell_to_csr(A2).to_dense())
+    blk = np.block([
+        [d1, np.zeros((d1.shape[0], d2.shape[1]))],
+        [np.zeros((d2.shape[0], d1.shape[1])), d2],
+    ])
+    grid = SStructGrid(part_shapes=((n1 + 1, n1 + 1), (n2 + 1, n2 + 1)))
+    A = ell_from_dense(blk)
+    mx = Maxwell(rfactors=(1.0, 2.0), amg_knobs=dict(max_coarse_size=40))
+    mx.setup(A, grid)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = mx.solve(b, rtol=1e-8, maxiter=300)
+    assert bool(info.converged)
