@@ -29,6 +29,7 @@ from hypre_tpu.struct.matrix import (
 from hypre_tpu.struct.probe import probe_stencil
 from hypre_tpu.struct.pfmg import PFMG
 from hypre_tpu.struct.sparse_msg import SparseMSG
+from hypre_tpu.struct.hybrid import StructHybrid
 from hypre_tpu.struct.smg import SMG
 from hypre_tpu.struct.jacobi import StructJacobi
 from hypre_tpu.struct.cycred import cyclic_reduction_solve

@@ -264,3 +264,31 @@ def test_sparse_msg_jump_skips_relaxation_but_converges():
     msg = SparseMSG(jump=1).setup(A)
     x, info = msg.solve(b, rtol=1e-8, maxiter=120)
     assert bool(info.converged)
+
+
+def test_struct_hybrid_escalates_to_pfmg():
+    """Hybrid (struct_ls/hybrid.c): DSCG with a convergence-factor cutoff,
+    escalating to PFMG-PCG when it stalls. On a sizeable grid with a tight
+    dscg budget, phase 1 must give up and phase 2 must finish."""
+    from hypre_tpu.struct import StructHybrid
+
+    A = struct_laplacian((32, 32))
+    b = jnp.ones(A.shape, A.dtype)
+    hy = StructHybrid(dscg_max_iter=10).setup(A)
+    x, info = hy.solve(b, rtol=1e-8)
+    assert bool(info.converged)
+    assert hy.dscg_iterations >= 1
+    assert hy.mg_iterations >= 1  # escalation actually happened
+    r = b - struct_matvec(A, x)
+    assert float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel())) < 1e-6
+
+
+def test_struct_hybrid_stays_cheap_when_easy():
+    from hypre_tpu.struct import StructHybrid
+
+    A = struct_laplacian((8, 8))
+    b = jnp.ones(A.shape, A.dtype)
+    hy = StructHybrid().setup(A)
+    x, info = hy.solve(b, rtol=1e-8)
+    assert bool(info.converged)
+    assert hy.mg_iterations == 0  # diagonal scaling was enough
