@@ -21,6 +21,7 @@ SOLVER_HELP = """solver ids (ij.c:2022-2046 subset):
  13 = GSMG          14 = GSMG-PCG    15 = GSMG-GMRES
  18 = ParaSails-GMRES  20 = Hybrid     31 = FSAI-PCG     50 = AMG-LGMRES
  60 = AMG-FlexGMRES   70 = MGR-GMRES   80 = ILU-GMRES
+  7 = PILUT-GMRES    43 = Euclid-PCG  46 = Euclid-GMRES  81 = ILUT-GMRES
  90 = AMG-DD        91 = AMG-DD-GMRES"""
 
 
@@ -203,6 +204,24 @@ def run(argv) -> tuple[int, float]:
         x, info = gmres(op, b, M=MGR().setup(A, [cpts]).precond(), **kw)
     elif s == 80:
         x, info = gmres(op, b, M=ILU().setup(A).precond(), **kw)
+    elif s == 7:
+        from hypre_tpu.precond import PILUT
+
+        x, info = gmres(op, b, M=PILUT().setup(A).precond(),
+                        k_dim=a["k_dim"], **kw)
+    elif s in (43, 46):
+        from hypre_tpu.precond import Euclid
+
+        M = Euclid(level=1).setup(A).precond()
+        if s == 43:
+            x, info = pcg(op, b, M=M, **kw)
+        else:
+            x, info = gmres(op, b, M=M, k_dim=a["k_dim"], **kw)
+    elif s == 81:
+        from hypre_tpu.precond import ILUT
+
+        x, info = gmres(op, b, M=ILUT().setup(A).precond(),
+                        k_dim=a["k_dim"], **kw)
     elif s in (90, 91):
         from hypre_tpu.parallel.amgdd import AMGDD
 

@@ -28,6 +28,10 @@ IJ_GOLDEN = [
     ("-solver 1 -n 20 20 20 -agg_nl 1", 12, 2.879e-09),
     ("-solver 80 -n 30 30 1 -tol 1e-8", 28, 4.979e-09),
     ("-solver 16 -n 40 40 1", 5, 6.232e-09),
+    ("-solver 7 -n 12 12 1 -tol 1e-8", 9, 8.336e-09),
+    ("-solver 43 -n 12 12 1 -tol 1e-8", 15, 4.233e-09),
+    ("-solver 46 -n 12 12 1 -tol 1e-8", 10, 6.252e-09),
+    ("-solver 81 -n 12 12 1 -tol 1e-8", 9, 8.336e-09),
 ]
 
 STRUCT_GOLDEN = [
