@@ -40,6 +40,8 @@ def parse_args(argv):
             a["relax"] = int(take())
         elif f == "-rhsrand":
             a["rhs"] = "rand"
+        elif f == "-jump":
+            a["jump"] = int(take())
         else:
             raise SystemExit(f"unknown flag {f}")
         i += 1
@@ -51,7 +53,7 @@ def run(argv) -> tuple[int, float]:
 
     from hypre_tpu.krylov import gmres, pcg
     from hypre_tpu.problems.struct_problems import struct_laplacian
-    from hypre_tpu.struct import PFMG, SMG, StructJacobi
+    from hypre_tpu.struct import PFMG, SMG, SparseMSG, StructHybrid, StructJacobi
 
     a = parse_args(argv)
     shape = (a["nx"], a["ny"]) if a["nz"] <= 1 else (a["nx"], a["ny"], a["nz"])
@@ -79,15 +81,28 @@ def run(argv) -> tuple[int, float]:
         x, info = smg().solve(b, rtol=a["tol"], maxiter=a["max_iter"])
     elif s == 1:
         x, info = pfmg().solve(b, rtol=a["tol"], maxiter=a["max_iter"])
+    elif s == 2:
+        # struct.c solver 2: SparseMSG (jump via -jump)
+        x, info = SparseMSG(jump=a.get("jump", 0)).setup(A).solve(
+            b, rtol=a["tol"], maxiter=a["max_iter"])
     elif s == 8:
         x, info = StructJacobi().setup(A).solve(b, rtol=a["tol"], maxiter=a["max_iter"])
-    elif s in (10, 11, 17, 18, 30, 31):
+    elif s in (20, 21, 22):
+        # struct.c 20/21/22: Hybrid with SMG/PFMG/SparseMSG escalation
+        # (SparseMSG escalation maps onto the PFMG branch)
+        hy = StructHybrid(precond_type="smg" if s == 20 else "pfmg",
+                          precond_knobs=dict(num_pre_relax=a["n_pre"],
+                                             num_post_relax=a["n_post"]))
+        x, info = hy.setup(A).solve(b, rtol=a["tol"])
+    elif s in (10, 11, 12, 17, 18, 30, 31, 32):
         op = A.as_linear_op()
         bf = b.reshape(-1)
         if s == 10:
             M = smg().precond()
         elif s == 11:
             M = pfmg().precond()
+        elif s == 12:
+            M = SparseMSG(jump=a.get("jump", 0)).setup(A).precond()
         elif s == 17:
             from hypre_tpu.struct.relax import diag_inverse
 
@@ -95,8 +110,11 @@ def run(argv) -> tuple[int, float]:
             M = lambda r: dinv * r
         else:
             M = None
-        if s in (30, 31):
-            M = smg().precond() if s == 30 else pfmg().precond()
+        if s in (30, 31, 32):
+            if s == 32:
+                M = SparseMSG(jump=a.get("jump", 0)).setup(A).precond()
+            else:
+                M = smg().precond() if s == 30 else pfmg().precond()
             x, info = gmres(op, bf, M=M, **kw)
         else:
             x, info = pcg(op, bf, M=M, **kw)

@@ -41,6 +41,10 @@ STRUCT_GOLDEN = [
     ("-solver 11 -n 32 32 1 -tol 1e-8", 11, 1.513e-09),
     ("-solver 10 -n 32 32 1 -tol 1e-8", 7, 1.193e-09),
     ("-solver 1 -n 64 64 1 -c 1 0.01 1", 11, 3.133e-07),
+    ("-solver 2 -n 16 16 1 -tol 1e-8", 11, 2.191e-09),
+    ("-solver 12 -n 16 16 1 -jump 1 -tol 1e-8", 8, 2.631e-09),
+    ("-solver 21 -n 16 16 1 -tol 1e-8", 7, 2.093e-09),
+    ("-solver 32 -n 16 16 1 -tol 1e-8", 6, 6.423e-10),
 ]
 
 
