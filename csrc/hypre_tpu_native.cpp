@@ -355,6 +355,14 @@ void extpi_numeric(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
         Px[out] = -w[c] / d_safe;
         ++out;
       }
+      // symbolic counts every strong-C neighbor entry, numeric keeps only
+      // sign-filtered (a_hat) ones with theta != 0 — mark the unused tail
+      // with a sentinel column the caller compacts away (keeps P's rows in
+      // sorted column order with no spurious (0, 0.0) entries)
+      for (; out < Pp[i + 1]; ++out) {
+        Pj[out] = -1;
+        Px[out] = 0.0;
+      }
     }
   }
 }

@@ -102,7 +102,7 @@ def parse_args(argv):
 
 
 def build_problem(a):
-    from hypre_tpu.io import read_matrix_market
+    from hypre_tpu.io import read_any_matrix
     from hypre_tpu.problems.laplacian import (
         difconv_3d_7pt, laplacian_2d_5pt, laplacian_2d_9pt, laplacian_3d_7pt,
         laplacian_3d_27pt,
@@ -111,7 +111,7 @@ def build_problem(a):
 
     nx, ny, nz = a["nx"], a["ny"], a["nz"]
     if a["problem"] == "fromfile":
-        return csr_to_ell(read_matrix_market(a["fromfile"]))
+        return csr_to_ell(read_any_matrix(a["fromfile"]))
     if a["problem"] == "9pt":
         return laplacian_2d_9pt(nx, ny)
     if a["problem"] == "27pt":

@@ -93,3 +93,60 @@ def load_vector(path: str):
     import jax.numpy as jnp
 
     return jnp.asarray(np.load(path)["v"])
+
+
+# ---------------------------------------------------------------------------
+# Reference ASCII IJ format (hypre_ParCSRMatrixPrintIJ, par_csr_matrix.c:644)
+# ---------------------------------------------------------------------------
+
+
+def read_ij_ascii(path: str) -> HostCSR:
+    """Parse the reference implementation's PrintIJ output: a header line
+    ``ilower iupper jlower jupper`` followed by ``I J %.14e`` triplets
+    (par_csr_matrix.c:729,745). Global indices are offset by ilower/jlower
+    (the print writes them in the file's own base). Single-rank file; for a
+    multi-rank dump concatenate the per-rank files first (each repeats only
+    its own range header — extra 4-token lines are treated as data guards
+    and rejected, so strip them when concatenating)."""
+    with open(path) as f:
+        head = f.readline().split()
+        if len(head) != 4:
+            raise ValueError(f"not an IJ ASCII file (bad header): {path}")
+        ilower, iupper, jlower, jupper = (int(t) for t in head)
+        rows, cols, vals = [], [], []
+        for line in f:
+            toks = line.replace(",", " ").split()
+            if not toks:
+                continue
+            rows.append(int(toks[0]) - ilower)
+            cols.append(int(toks[1]) - jlower)
+            vals.append(float(toks[2]) if len(toks) > 2 else 1.0)
+    shape = (iupper - ilower + 1, jupper - jlower + 1)
+    return HostCSR.from_coo(
+        np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+        np.asarray(vals), shape, sum_duplicates=False,
+    )
+
+
+def write_ij_ascii(path: str, A: HostCSR | EllMatrix, base: int = 0) -> None:
+    """Write in the reference PrintIJ format (default 0-based like
+    HYPRE_IJMatrixPrint's base_i=0 path)."""
+    csr = ell_to_csr(A) if isinstance(A, EllMatrix) else A
+    m, n = csr.shape
+    with open(path, "w") as f:
+        f.write(f"{base} {m - 1 + base} {base} {n - 1 + base}\n")
+        rows = np.repeat(np.arange(m), csr.row_nnz())
+        for r, c, v in zip(rows, csr.indices, csr.data):
+            f.write(f"{r + base} {c + base} {v:.14e}\n")
+
+
+def read_any_matrix(path: str) -> HostCSR:
+    """Dispatch on file content: MatrixMarket, reference IJ ASCII, or the
+    native .npz checkpoint (the ij driver's -fromfile accepts all three)."""
+    if path.endswith(".npz"):
+        return ell_to_csr(load_matrix(path))
+    with open(path) as f:
+        first = f.readline().strip()
+    if first.lower().startswith("%%matrixmarket"):
+        return read_matrix_market(path)
+    return read_ij_ascii(path)

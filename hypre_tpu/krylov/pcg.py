@@ -40,9 +40,13 @@ def pcg(
     two_norm: bool = True,
     cf_tol: float = 0.0,
 ) -> tuple[jax.Array, ConvergenceInfo]:
-    """cf_tol > 0 enables hypre's slow-convergence cutoff (pcg.h:76-105):
-    stop when the smoothed convergence factor ||r_i||/||r_{i-1}|| exceeds
-    cf_tol — the signal the Hybrid driver uses to switch to AMG."""
+    """cf_tol > 0 enables hypre's slow-convergence cutoff (pcg.h:76-105,
+    pcg.c:727-749): track the running *average* convergence factor
+    cf_ave = (i_prod/i_prod_0)^(1/(2i)), weight it by how settled the
+    estimate is (1 - |cf_new - cf_old|/max(...)), and stop when
+    weight*cf_ave > cf_tol — the signal the Hybrid driver uses to switch
+    to AMG. The damping means a single slow iteration (a residual plateau)
+    does not trigger premature escalation."""
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
 
@@ -54,11 +58,11 @@ def pcg(
     i_prod0 = dot(r, r) if two_norm else gamma
 
     def cond(state):
-        _, _, _, _, i_prod, it, ok = state
+        _, _, _, _, i_prod, it, ok, _ = state
         return (i_prod > eps) & (it < maxiter) & ok
 
     def body(state):
-        x, r, p, gamma, i_prod_prev, it, _ = state
+        x, r, p, gamma, i_prod_prev, it, _, cf_ave_prev = state
         s = A(p)
         sdotp = dot(s, p)
         alpha = gamma / sdotp
@@ -68,15 +72,25 @@ def pcg(
         gamma_new = dot(r, z)
         i_prod = dot(r, r) if two_norm else gamma_new
         ok = jnp.isfinite(i_prod) & (sdotp != 0)
+        cf_ave = cf_ave_prev
         if cf_tol > 0.0:
-            cf = jnp.sqrt(i_prod / jnp.where(i_prod_prev > 0, i_prod_prev, 1.0))
-            ok = ok & ((it < 1) | (cf < cf_tol))
+            # hypre pcg.c:727-749: average convergence factor over all
+            # iterations, weighted down while the estimate is still moving
+            i1 = (it + 1).astype(i_prod.dtype)
+            safe0 = jnp.where(i_prod0 > 0, i_prod0, 1.0)
+            cf_ave = jnp.power(
+                jnp.maximum(i_prod / safe0, 0.0), 1.0 / (2.0 * i1)
+            )
+            denom = jnp.maximum(jnp.maximum(cf_ave, cf_ave_prev), 1e-300)
+            weight = 1.0 - jnp.abs(cf_ave - cf_ave_prev) / denom
+            ok = ok & (weight * cf_ave <= cf_tol)
         beta = gamma_new / gamma
         p = z + beta * p
-        return (x, r, p, gamma_new, i_prod, it + 1, ok)
+        return (x, r, p, gamma_new, i_prod, it + 1, ok, cf_ave)
 
-    state = (x, r, z, gamma, i_prod0, jnp.int32(0), jnp.array(True))
-    x, r, _, _, i_prod, iters, ok = jax.lax.while_loop(cond, body, state)
+    cf0 = jnp.asarray(0.0, i_prod0.dtype)
+    state = (x, r, z, gamma, i_prod0, jnp.int32(0), jnp.array(True), cf0)
+    x, r, _, _, i_prod, iters, ok, _ = jax.lax.while_loop(cond, body, state)
 
     safe_bi = jnp.where(bi_prod > 0, bi_prod, 1.0)
     rel_res = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_bi)

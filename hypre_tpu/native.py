@@ -136,6 +136,15 @@ def extpi_interp(n, Ap, Aj, Ax, S, cf, cmap):
     Pj = np.zeros(nnz, np.int32)
     Px = np.zeros(nnz, np.float64)
     lib.extpi_numeric(n, Ap, Aj, Ax, S, cf, cmap, Pp, Pj, Px)
+    # drop sentinel (-1) slots: rows with positive strong off-diagonals get
+    # fewer numeric entries than the symbolic bound (see extpi_numeric)
+    keep = Pj >= 0
+    if not keep.all():
+        rows = np.repeat(np.arange(n), np.diff(Pp))
+        counts = np.bincount(rows[keep], minlength=n).astype(np.int32)
+        Pp = np.zeros(n + 1, np.int32)
+        np.cumsum(counts, out=Pp[1:])
+        Pj, Px = Pj[keep], Px[keep]
     return Pp, Pj, Px
 
 

@@ -20,10 +20,13 @@ def struct_laplacian(
     weights: tuple[float, ...] | None = None,
     dtype=None,
     constant: bool = True,
+    periodic: tuple[bool, ...] | None = None,
 ) -> StructMatrix:
     """(2d+1)-point anisotropic Laplacian: -w_d u_xx in each dim.
 
     weights = hypre struct.c's -c flag (cx, cy, cz), default all 1.
+    periodic = per-dim wraparound (hypre struct.c's -p flag); note a
+    fully-periodic Laplacian is singular (constant null space).
     """
     dtype = dtype or default_real_dtype()
     ndim = len(shape)
@@ -38,7 +41,9 @@ def struct_laplacian(
         coeff_map = {
             k: np.full(shape, v, dtype=dtype) for k, v in coeff_map.items()
         }
-    return struct_from_dense_coeffs(coeff_map, shape, dtype=dtype)
+    return struct_from_dense_coeffs(
+        coeff_map, shape, dtype=dtype, periodic=periodic
+    )
 
 
 def random_struct_matrix(

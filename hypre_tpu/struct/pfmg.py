@@ -89,7 +89,13 @@ class PFMG:
         ):
             # coarsen the dim with the smallest effective mesh size that can
             # still coarsen (pfmg_setup.c:224-235); x2 per coarsening (:328)
-            candidates = [d for d in range(A.ndim) if A.shape[d] >= 3]
+            # periodic dims can only coarsen while even (the stride-2 C-point
+            # lattice must tile the wrapped dim, struct_mv periodicity rules)
+            candidates = [
+                d for d in range(A.ndim)
+                if A.shape[d] >= 3
+                and not (A.periodic and A.periodic[d] and A.shape[d] % 2)
+            ]
             if not candidates:
                 break
             cdir = min(candidates, key=lambda d: dxyz[d])
@@ -107,6 +113,7 @@ class PFMG:
                 cshape,
                 ext,
                 A.dtype,
+                periodic=A.periodic,
             )
             levels.append(
                 PFMGLevel(

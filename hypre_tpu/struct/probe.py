@@ -46,9 +46,31 @@ def probe_stencil(
     extent: per-dim stencil extent bound (over-estimates are safe).
     prune: drop offsets whose recovered coefficient array is identically 0
     (e.g. Galerkin RAP of a 7-pt operator is 19-pt, not the full 27 box).
+
+    Periodic dims: the lattice-class identification ``class(j) = class(i+o)``
+    survives wraparound iff the modulus divides the grid size (j = i+o-N and
+    N % m == 0). So for a periodic dim the modulus is the smallest divisor of
+    ``shape[d]`` that is >= 2e+1 (worst case shape[d] itself, where each
+    class is a single coordinate plane) instead of 2e+1.
     """
     ndim = len(shape)
-    mods = tuple(2 * e + 1 for e in extent)
+    periodic = periodic or (False,) * ndim
+
+    def pick_mod(d: int) -> int:
+        need = 2 * extent[d] + 1
+        if not periodic[d]:
+            return need
+        if shape[d] < need:
+            raise NotImplementedError(
+                f"periodic dim {d}: grid size {shape[d]} smaller than the "
+                f"stencil span {need}; the wrapped operator is not a stencil"
+            )
+        for m in range(need, shape[d] + 1):
+            if shape[d] % m == 0:
+                return m
+        return shape[d]
+
+    mods = tuple(pick_mod(d) for d in range(ndim))
 
     # lattice indicator probes, applied through the (jitted) operator
     probes = []

@@ -41,6 +41,11 @@ class SemiInterp:
     w_lo: jax.Array
     w_hi: jax.Array
     cdir: int = dataclasses.field(metadata=dict(static=True))
+    # grid periodicity (struct_mv's pgrid periodic): interpolation at the
+    # wrap seam reads the coarse neighbor on the other side
+    periodic: tuple[bool, ...] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def fine_shape(self) -> tuple[int, ...]:
@@ -66,13 +71,15 @@ class SemiInterp:
         xe = jnp.zeros(self.fine_shape, xc.dtype).at[self._cslices()].set(xc)
         e = self._unit()
         ne = tuple(-v for v in e)
-        return xe + self.w_lo * shift(xe, ne) + self.w_hi * shift(xe, e)
+        p = self.periodic
+        return xe + self.w_lo * shift(xe, ne, p) + self.w_hi * shift(xe, e, p)
 
     def apply_t(self, r: jax.Array) -> jax.Array:
         """coarse = P.T @ fine (hypre_SemiRestrict, semi_restrict.c)."""
         e = self._unit()
         ne = tuple(-v for v in e)
-        acc = r + shift(self.w_lo * r, e) + shift(self.w_hi * r, ne)
+        p = self.periodic
+        acc = r + shift(self.w_lo * r, e, p) + shift(self.w_hi * r, ne, p)
         return acc[self._cslices()]
 
 
@@ -96,6 +103,14 @@ def semi_interp_from_matrix(A: StructMatrix, cdir: int) -> SemiInterp:
     # zero the weights at C-points (even index in cdir) — P injects there
     idx = np.indices(A.shape)[cdir] % 2
     odd = jnp.asarray(idx == 1)
+    if A.periodic and A.periodic[cdir] and A.shape[cdir] % 2 != 0:
+        raise NotImplementedError(
+            "semicoarsening a periodic dim requires an even grid size "
+            f"(dim {cdir} has {A.shape[cdir]})"
+        )
     return SemiInterp(
-        w_lo=jnp.where(odd, w_lo, 0.0), w_hi=jnp.where(odd, w_hi, 0.0), cdir=cdir
+        w_lo=jnp.where(odd, w_lo, 0.0),
+        w_hi=jnp.where(odd, w_hi, 0.0),
+        cdir=cdir,
+        periodic=A.periodic,
     )

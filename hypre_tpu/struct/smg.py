@@ -62,13 +62,22 @@ def _line_solve_update(A: StructMatrix, u, f, line_axis: int, mask):
     """Solve the line systems along ``line_axis`` at points where mask=1,
     holding the rest of u fixed (one colored line-relax half-sweep)."""
     lo, di, hi = _tridiag_along(A, line_axis, ())
-    # rhs = f - (A - T) u where T is the tridiagonal part along line_axis
+    # rhs = f - (A - T) u where T is the tridiagonal part along line_axis.
+    # T must match what PCR solves EXACTLY: a non-wrapping tridiagonal. If
+    # the line axis is periodic, the wraparound couplings stay in the
+    # (A - T) u remainder — a consistent splitting, just a slightly weaker
+    # line smoother at the seam.
+    no_wrap = (
+        tuple(p and d != line_axis for d, p in enumerate(A.periodic))
+        if A.periodic
+        else None
+    )
     e = [0] * A.ndim
     e[line_axis] = 1
     Tu = (
         di * u
-        + lo * shift(u, tuple(-v for v in e), A.periodic)
-        + hi * shift(u, tuple(e), A.periodic)
+        + lo * shift(u, tuple(-v for v in e), no_wrap)
+        + hi * shift(u, tuple(e), no_wrap)
     )
     rhs = f - struct_matvec(A, u) + Tu
     # PCR solves along the last axis: move line_axis last
@@ -120,9 +129,15 @@ class SMG:
     def setup(self, A: StructMatrix) -> "SMG":
         levels: List[SMGLevel] = []
         while len(levels) < self.max_levels - 1 and A.n_rows > self.max_coarse_size:
+            def can_coarsen(d: int) -> bool:
+                if A.shape[d] < 3:
+                    return False
+                # periodic dims only coarsen while even (struct periodicity)
+                return not (A.periodic and A.periodic[d] and A.shape[d] % 2)
+
             cdir = A.ndim - 1  # SMG always semicoarsens the last dim (smg_setup.c)
-            if A.shape[cdir] < 3:
-                coarsenable = [d for d in range(A.ndim) if A.shape[d] >= 3]
+            if not can_coarsen(cdir):
+                coarsenable = [d for d in range(A.ndim) if can_coarsen(d)]
                 if not coarsenable:
                     break
                 cdir = coarsenable[-1]
@@ -136,6 +151,7 @@ class SMG:
                 cshape,
                 ext,
                 A.dtype,
+                periodic=A.periodic,
             )
             levels.append(
                 SMGLevel(

@@ -99,6 +99,7 @@ class SparseMSG:
                     coarse_shape(Ap.shape, d),
                     ext,
                     Ap.dtype,
+                    periodic=Ap.periodic,
                 )
             Ag = self.A[g]
             self.dinv[g] = diag_inverse(Ag)

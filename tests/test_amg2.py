@@ -239,3 +239,41 @@ def test_multipass_amg_converges():
     # multipass is deliberately cheaper/weaker than ext+i (hypre pairs it
     # with aggressive coarsening for operator-complexity control)
     assert int(info.iterations) <= 40
+
+
+def test_extpi_native_positive_offdiag_rows():
+    # rows with positive strong off-diagonals (non-M-matrix): the native
+    # extpi symbolic bound exceeds what numeric emits; the sentinel
+    # compaction must leave P with sorted, valid columns only (ADVICE r1)
+    from hypre_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n = 60
+    dense = np.zeros((n, n))
+    for i in range(n):
+        dense[i, i] = 4.0
+        for j in (i - 2, i - 1, i + 1, i + 2):
+            if 0 <= j < n:
+                # mix of signs -> a_hat filters some entries
+                dense[i, j] = 1.0 if rng.random() < 0.4 else -1.0
+    from hypre_tpu.seq.csr import HostCSR
+
+    r, c = np.nonzero(dense)
+    A = HostCSR.from_coo(r, c, dense[r, c], (n, n))
+    Ap, Aj, Ax = A.indptr.astype(np.int32), A.indices.astype(np.int32), A.data
+    S = native.strength(n, Ap, Aj, Ax, 0.25)
+    cf = native.pmis(n, Ap, Aj, S)
+    is_c = cf == 1
+    assert is_c.any() and (~is_c).any()
+    cmap = np.where(is_c, np.cumsum(is_c) - 1, -1).astype(np.int32)
+    Pp, Pj, Px = native.extpi_interp(n, Ap, Aj, Ax, S, cf, cmap)
+    assert (Pj >= 0).all()
+    # sorted column order within every row
+    for i in range(n):
+        seg = Pj[Pp[i]:Pp[i + 1]]
+        assert (np.diff(seg) > 0).all(), f"row {i} not strictly sorted: {seg}"
+    # C rows are identity
+    for i in np.nonzero(is_c)[0]:
+        assert Pp[i + 1] - Pp[i] == 1 and Pj[Pp[i]] == cmap[i] and Px[Pp[i]] == 1.0

@@ -97,3 +97,22 @@ def test_native_save_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ell_spmv(A, x)), np.asarray(ell_spmv(B, x))
     )
+
+
+def test_ij_ascii_roundtrip(tmp_path):
+    # reference PrintIJ format (par_csr_matrix.c:729,745): header line with
+    # ranges, then "I J %.14e" triplets
+    from hypre_tpu.io import read_any_matrix, read_ij_ascii, write_ij_ascii
+    from hypre_tpu.seq.csr import HostCSR
+
+    rng = np.random.default_rng(3)
+    dense = np.where(rng.random((7, 7)) < 0.4, rng.standard_normal((7, 7)), 0.0)
+    r, c = np.nonzero(dense)
+    A = HostCSR.from_coo(r, c, dense[r, c], (7, 7))
+    p = tmp_path / "mat.IJ.out.00000"
+    write_ij_ascii(str(p), A, base=1)
+    B = read_ij_ascii(str(p))
+    np.testing.assert_allclose(B.to_dense(), dense, rtol=1e-13)
+    # content dispatch picks the IJ parser (no MatrixMarket header)
+    C = read_any_matrix(str(p))
+    np.testing.assert_allclose(C.to_dense(), dense, rtol=1e-13)

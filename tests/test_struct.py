@@ -292,3 +292,17 @@ def test_struct_hybrid_stays_cheap_when_easy():
     x, info = hy.solve(b, rtol=1e-8)
     assert bool(info.converged)
     assert hy.mg_iterations == 0  # diagonal scaling was enough
+
+
+def test_pfmg_periodic_x():
+    # periodic in x, Dirichlet in y: nonsingular, coarse stencils must wrap
+    # correctly at the seam (probe.py periodic modulus; semi.py periodic
+    # interpolation — reference struct periodicity, struct_grid.c)
+    A = struct_laplacian((32, 32), periodic=(True, False))
+    info = _solve_check(PFMG().setup(A), A, (32, 32), max_expected=14)
+    assert int(info.iterations) >= 3
+
+
+def test_smg_periodic_x():
+    A = struct_laplacian((16, 16), periodic=(True, False))
+    _solve_check(SMG().setup(A), A, (16, 16), max_expected=14)
