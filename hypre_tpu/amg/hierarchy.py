@@ -103,6 +103,31 @@ def setup_hierarchy(
     'auto' picks native when the library builds and the knob combination is
     covered (ext+i / pmis / ruge / hmis / falgout, no Jacobi-interp passes).
     """
+    if setup_backend == "device":
+        from hypre_tpu.amg.device_setup import setup_hierarchy_device
+
+        if interp not in ("ext+i",) or coarsen != "pmis":
+            raise ValueError(
+                "the device setup backend currently covers pmis + ext+i "
+                f"(got coarsen={coarsen!r}, interp={interp!r})"
+            )
+        if agg_num_levels > 0 or restrict_type != "transpose" or (
+            nongalerkin_tol > 0 or interp_jacobi_passes > 0
+        ):
+            raise ValueError(
+                "device setup backend: agg/AIR/non-Galerkin/Jacobi-interp "
+                "knobs are not wired yet — use the native or jax backend"
+            )
+        return setup_hierarchy_device(
+            A,
+            strength_threshold=strength_threshold,
+            max_levels=max_levels,
+            max_coarse_size=max_coarse_size,
+            p_max_elmts=p_max_elmts,
+            trunc_factor=trunc_factor,
+            relax=relax,
+            coarsen_rtol=coarsen_rtol,
+        )
     if setup_backend == "auto":
         from hypre_tpu import native as _native
 

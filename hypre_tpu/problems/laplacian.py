@@ -52,7 +52,13 @@ def stencil_to_ell(grid_shape, offsets, coeffs, dtype=None) -> EllMatrix:
         flat = (nbr * strides[:, None]).sum(axis=0)
         cols[inside, s] = flat[inside]
         vals[inside, s] = coeffs[s]
-    return EllMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols), n_cols=n)
+    # a constant stencil in lexicographic order is shift-structured:
+    # cols[i, s] = i + offsets[s].strides — annotate for the device setup
+    shifts = tuple(int(v) for v in (offsets * strides).sum(axis=1))
+    return EllMatrix(
+        vals=jnp.asarray(vals), cols=jnp.asarray(cols), n_cols=n,
+        shifts=shifts,
+    )
 
 
 def laplacian_2d_5pt(nx: int, ny: int, dtype=None) -> EllMatrix:

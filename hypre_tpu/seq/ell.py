@@ -22,6 +22,7 @@ the contribution inert); structural kernels mask with ``cols >= 0``.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,14 @@ class EllMatrix:
     vals: jax.Array
     cols: jax.Array
     n_cols: int = dataclasses.field(metadata=dict(static=True))
+    # optional structural annotation: cols[i, s] == i + shifts[s] at every
+    # valid slot (boundary-truncated stencil in lexicographic order). Set
+    # by the stencil problem generators; lets the device setup path replace
+    # every setup-phase gather/scatter with rolls (seq/slabops.py). Purely
+    # advisory — kernels must treat None as "no structure".
+    shifts: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def n_rows(self) -> int:

@@ -1,0 +1,213 @@
+"""Device setup path (amg/device_setup.py) vs the jax oracle path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu.amg.coarsen import coarse_map, pmis
+from hypre_tpu.amg.device_setup import (
+    ext_plus_i_device, paired_transpose_vals, pmis_device, setup_hierarchy_device,
+    spgemm_slab, strength_and_cap, transpose_slab,
+)
+from hypre_tpu.amg.interp import ext_plus_i_interp, truncate_interp
+from hypre_tpu.amg.strength import strength_mask
+from hypre_tpu.core.config import PAD_COL
+from hypre_tpu.problems.laplacian import laplacian_2d_5pt, laplacian_3d_7pt
+from hypre_tpu.seq.ell import EllMatrix, ell_to_csr
+from hypre_tpu.seq.spgemm import ell_spgemm, ell_transpose
+
+
+def _dense(cols, vals, ncols):
+    cols, vals = np.asarray(cols), np.asarray(vals)
+    d = np.zeros((cols.shape[0], ncols))
+    for i in range(cols.shape[0]):
+        for c, v in zip(cols[i], vals[i]):
+            if c >= 0:
+                d[i, c] += v
+    return d
+
+
+@pytest.mark.parametrize("use_shifts", [False, True])
+def test_pmis_device_matches_oracle(use_shifts):
+    A = laplacian_2d_5pt(12, 11)
+    S = strength_mask(A, 0.25)
+    cf_ref = np.asarray(pmis(A, S))
+    scols = jnp.where(S, A.cols, PAD_COL)
+    cf_dev = np.asarray(
+        pmis_device(scols, A.n_rows, shifts=A.shifts if use_shifts else None)
+    )
+    np.testing.assert_array_equal(cf_dev, cf_ref)
+
+
+def test_extpi_device_matches_oracle_symmetric():
+    A = laplacian_2d_5pt(10, 9)
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    cmap, n_c = coarse_map(cf)
+    n_coarse = int(n_c)
+    P_ref = ext_plus_i_interp(A, S, cf, cmap, n_coarse)
+    _, scols, svals, _ = strength_and_cap(A, 0.25, s_cap=A.k)
+    pc, pv, _ = ext_plus_i_device(A, scols, svals, cf, out_k=24)
+    from hypre_tpu.amg.device_setup import remap_fine_to_coarse
+
+    pc, pv = remap_fine_to_coarse(pc, pv, cmap)
+    np.testing.assert_allclose(
+        _dense(pc, pv, n_coarse), _dense(P_ref.cols, P_ref.vals, n_coarse),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("use_shifts", [False, True])
+def test_extpi_device_shifts_path_consistent(use_shifts):
+    # shift path must equal the gather path exactly on a stencil problem
+    A = laplacian_3d_7pt(6, 5, 4)
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    _, scols, svals, _ = strength_and_cap(
+        A, 0.25, s_cap=A.k, shifts=A.shifts if use_shifts else None
+    )
+    pc, pv, _ = ext_plus_i_device(
+        A, scols, svals, cf, out_k=32,
+        shifts=A.shifts if use_shifts else None,
+    )
+    if not hasattr(test_extpi_device_shifts_path_consistent, "_ref"):
+        test_extpi_device_shifts_path_consistent._ref = {}
+    ref = test_extpi_device_shifts_path_consistent._ref
+    d = _dense(pc, pv, A.n_rows)
+    if "d" in ref:
+        np.testing.assert_allclose(d, ref["d"], rtol=1e-6, atol=1e-8)
+    ref["d"] = d
+
+
+def test_paired_transpose_vals():
+    rng = np.random.default_rng(5)
+    n = 20
+    dense = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            if i != j and rng.random() < 0.2:
+                dense[i, j] = rng.standard_normal()
+        dense[i, i] = 4.0
+    # make the PATTERN symmetric (values stay nonsymmetric)
+    pat = (dense != 0) | (dense.T != 0)
+    dense = np.where(pat & (dense == 0), 1e-30, dense)
+    from hypre_tpu.seq.ell import ell_from_dense
+
+    A = ell_from_dense(dense)
+    B = paired_transpose_vals(A.cols, A.vals, n)
+    cols, vals = np.asarray(A.cols), np.asarray(B)
+    for i in range(n):
+        for a, c in enumerate(cols[i]):
+            if c >= 0:
+                np.testing.assert_allclose(vals[i, a], dense[c, i], rtol=1e-12)
+
+
+def test_paired_transpose_vals_shifts():
+    A = laplacian_2d_5pt(7, 6)
+    # make values asymmetric but keep the stencil structure
+    vals = np.asarray(A.vals).copy()
+    vals[:, 1] *= 1.5  # scale one off-diagonal slot
+    A = dataclasses.replace(A, vals=jnp.asarray(vals))
+    B_roll = paired_transpose_vals(A.cols, A.vals, A.n_rows, shifts=A.shifts)
+    B_sort = paired_transpose_vals(A.cols, A.vals, A.n_rows, shifts=None)
+    np.testing.assert_allclose(np.asarray(B_roll), np.asarray(B_sort), rtol=1e-12)
+
+
+@pytest.mark.parametrize("use_shifts", [False, True])
+def test_spgemm_slab_matches_oracle(use_shifts):
+    A = laplacian_2d_5pt(9, 8)
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    cmap, n_c = coarse_map(cf)
+    P = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+    C_ref = ell_spgemm(A, P)
+    cc, cv, req = spgemm_slab(
+        A.cols, A.vals, P.cols, P.vals, out_k=32,
+        shifts=A.shifts if use_shifts else None,
+    )
+    assert int(req) <= 32
+    np.testing.assert_allclose(
+        _dense(cc, cv, int(n_c)), _dense(C_ref.cols, C_ref.vals, int(n_c)),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_transpose_slab_matches_oracle():
+    A = laplacian_2d_5pt(9, 8)
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    cmap, n_c = coarse_map(cf)
+    P = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+    T_ref = ell_transpose(P)
+    tc, tv, req = transpose_slab(P.cols, P.vals, int(n_c), out_k=int(T_ref.k))
+    assert int(req) == T_ref.k
+    np.testing.assert_allclose(
+        _dense(tc, tv, A.n_rows), _dense(T_ref.cols, T_ref.vals, A.n_rows),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_setup_hierarchy_device_solves():
+    # end-to-end: device-built hierarchy drives AMG-PCG to convergence with
+    # hypre-class iteration counts on the 2-D model problem
+    from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = laplacian_2d_5pt(48, 48)
+    hier = setup_hierarchy_device(A, max_coarse_size=40, relax="l1-jacobi")
+    assert len(hier.levels) >= 2
+    smoother = make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows), A.dtype)
+
+    def M(r):
+        return amg_cycle(hier, r, smoother=smoother)
+
+    x, info = pcg(lambda v: ell_spmv(A, v), b, M=M, rtol=1e-8, maxiter=60)
+    r = b - ell_spmv(A, x)
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert bool(info.converged)
+    assert int(info.iterations) <= 14, f"{info}"
+    assert rel < 1e-6
+
+
+def test_setup_hierarchy_device_galerkin_exact():
+    # with no caps the coarse operator must be exactly Pt A P
+    A = laplacian_2d_5pt(20, 18)
+    hier = setup_hierarchy_device(A, max_coarse_size=30, ap_cap=0)
+    lev = hier.levels[0]
+    Af = _dense(lev.A.cols, lev.A.vals, lev.A.n_cols)
+    Pf = _dense(lev.P.cols, lev.P.vals, lev.P.n_cols)
+    Ac = hier.levels[1].A if len(hier.levels) > 1 else None
+    Ac_d = (
+        _dense(Ac.cols, Ac.vals, Ac.n_cols)
+        if Ac is not None
+        else np.linalg.inv(np.asarray(hier.coarse_inv))
+    )
+    np.testing.assert_allclose(Pf.T @ Af @ Pf, Ac_d, rtol=1e-4, atol=1e-5)
+
+
+def test_spgemm_and_extpi_chunked_match_unchunked():
+    A = laplacian_2d_5pt(13, 11)
+    A = dataclasses.replace(A, shifts=None)  # force the gather/chunk path
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    cmap, n_c = coarse_map(cf)
+    _, scols, svals, _ = strength_and_cap(A, 0.25, s_cap=A.k)
+    p1 = ext_plus_i_device(A, scols, svals, cf, out_k=24, chunks=1)
+    p4 = ext_plus_i_device(A, scols, svals, cf, out_k=24, chunks=4)
+    np.testing.assert_allclose(
+        _dense(p1[0], p1[1], A.n_rows), _dense(p4[0], p4[1], A.n_rows),
+        rtol=1e-6, atol=1e-9,
+    )
+    P = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+    c1 = spgemm_slab(A.cols, A.vals, P.cols, P.vals, 32, chunks=1)
+    c3 = spgemm_slab(A.cols, A.vals, P.cols, P.vals, 32, chunks=3)
+    np.testing.assert_allclose(
+        _dense(c1[0], c1[1], int(n_c)), _dense(c3[0], c3[1], int(n_c)),
+        rtol=1e-6, atol=1e-9,
+    )
+    assert int(c1[2]) == int(c3[2])
