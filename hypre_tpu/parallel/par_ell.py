@@ -51,16 +51,31 @@ class ParEllMatrix:
     diag_cols: jax.Array  # (n_row_pad, kd) local col indices, -1 pad
     offd_vals: jax.Array  # (n_row_pad, ko)
     offd_cols: jax.Array  # (n_row_pad, ko) halo-buffer indices, -1 pad
-    send_idx: jax.Array  # (P, P, m) local col-space indices, sharded on axis 0
+    send_idx: jax.Array  # (P, M) local col-space pack map, sharded on axis 0
 
     n_rows: int = dataclasses.field(metadata=dict(static=True))  # global, unpadded
     n_cols: int = dataclasses.field(metadata=dict(static=True))
-    m: int = dataclasses.field(metadata=dict(static=True))  # halo tile size
+    # neighbor ppermute schedule (CommPkg topology): ring offsets and the
+    # per-offset tile sizes, static so the exchange unrolls at trace time
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    sizes: tuple = dataclasses.field(metadata=dict(static=True))
     mesh: Mesh = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_shards(self) -> int:
         return self.send_idx.shape[0]
+
+    @property
+    def halo_starts(self) -> tuple:
+        out, acc = [], 0
+        for m in self.sizes:
+            out.append(acc)
+            acc += m
+        return tuple(out)
+
+    def exchange_bytes(self) -> int:
+        """Bytes one matvec exchange moves across the mesh (halo volume)."""
+        return self.num_shards * int(self.send_idx.shape[1]) * self.dtype.itemsize
 
     @property
     def n_row_local(self) -> int:
@@ -101,16 +116,41 @@ def _local_spmv_t(vals, cols, x, n_out):
     return jnp.zeros((n_out,), contrib.dtype).at[flat_cols].add(contrib)
 
 
+def _exchange(send: jax.Array, offsets, sizes, nshards):
+    """Forward halo exchange: one ppermute per ring offset. send (M,) is the
+    packed buffer grouped by offset; returns the (M,) halo buffer."""
+    parts = []
+    start = 0
+    for o, m in zip(offsets, sizes):
+        perm = [(s, (s + o) % nshards) for s in range(nshards)]
+        parts.append(jax.lax.ppermute(send[start : start + m], ROW_AXIS, perm))
+        start += m
+    return jnp.concatenate(parts) if parts else send[:0]
+
+
+def _exchange_rev(contrib: jax.Array, offsets, sizes, nshards):
+    """Reverse (transpose/accumulate) exchange: route each offset block back
+    to its source — hypre's reverse-comm job (CommHandle job=2)."""
+    parts = []
+    start = 0
+    for o, m in zip(offsets, sizes):
+        perm = [((s + o) % nshards, s) for s in range(nshards)]
+        parts.append(
+            jax.lax.ppermute(contrib[start : start + m], ROW_AXIS, perm)
+        )
+        start += m
+    return jnp.concatenate(parts) if parts else contrib[:0]
+
+
 def par_spmv(A: ParEllMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x with x sharded by A's column partition (3.2's hot kernel)."""
     nshards = A.num_shards
-    m = A.m
+    offsets, sizes = A.offsets, A.sizes
 
     def shard_fn(dvals, dcols, ovals, ocols, send_idx, x_local):
-        # send_idx local block: (1, P, m) — this shard's outgoing pack map
-        send = jnp.take(x_local, send_idx[0].reshape(-1), axis=0).reshape(nshards, m)
-        recv = jax.lax.all_to_all(send, ROW_AXIS, 0, 0)
-        halo = recv.reshape(-1)
+        # send_idx local block: (1, M) — this shard's outgoing pack map
+        send = jnp.take(x_local, send_idx[0], axis=0)
+        halo = _exchange(send, offsets, sizes, nshards)
         return _local_spmv(dvals, dcols, x_local) + _local_spmv(ovals, ocols, halo)
 
     spec_rows = P(ROW_AXIS)
@@ -126,14 +166,15 @@ def par_spmv_t(A: ParEllMatrix, x: jax.Array) -> jax.Array:
     """y = A.T @ x — reverse exchange with accumulation, mirroring hypre's
     MatvecT reverse-comm job (``par_csr_matvec.c:412``, CommHandle job=2)."""
     nshards = A.num_shards
-    m = A.m
+    offsets, sizes = A.offsets, A.sizes
     n_col_local = A.n_col_local
+    M = sum(sizes) if sizes else 0
 
     def shard_fn(dvals, dcols, ovals, ocols, send_idx, x_local):
         y = _local_spmv_t(dvals, dcols, x_local, n_col_local)
-        contrib = _local_spmv_t(ovals, ocols, x_local, nshards * m)
-        back = jax.lax.all_to_all(contrib.reshape(nshards, m), ROW_AXIS, 0, 0)
-        return y.at[send_idx[0].reshape(-1)].add(back.reshape(-1))
+        contrib = _local_spmv_t(ovals, ocols, x_local, max(M, 1))
+        back = _exchange_rev(contrib[:M], offsets, sizes, nshards)
+        return y.at[send_idx[0]].add(back)
 
     spec_rows = P(ROW_AXIS)
     return _shard_map(
@@ -222,7 +263,8 @@ def partition_ell(
         send_idx=jax.device_put(jnp.asarray(sched.send_idx), shard),
         n_rows=A.n_rows,
         n_cols=A.n_cols,
-        m=sched.m,
+        offsets=sched.offsets,
+        sizes=sched.sizes,
         mesh=mesh,
     )
 
