@@ -57,6 +57,10 @@ class ConvergenceInfo:
     iterations: jax.Array  # int32 scalar
     relative_residual: jax.Array  # real scalar, final ||r|| / ||b||
     converged: jax.Array  # bool scalar
+    # per-iteration ||r|| norms, recorded when the solver's logging > 0
+    # (hypre's SetLogging norms/rel_norms arrays, pcg.c:630-634); length
+    # maxiter+1 with slot 0 = the initial residual, untouched slots = -1
+    res_history: "jax.Array | None" = None
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         try:
@@ -69,11 +73,14 @@ class ConvergenceInfo:
             return object.__repr__(self)
 
 
-def make_convergence_info(iterations, relative_residual, converged) -> ConvergenceInfo:
+def make_convergence_info(
+    iterations, relative_residual, converged, res_history=None
+) -> ConvergenceInfo:
     return ConvergenceInfo(
         iterations=jnp.asarray(iterations, jnp.int32),
         relative_residual=jnp.asarray(relative_residual),
         converged=jnp.asarray(converged, jnp.bool_),
+        res_history=res_history,
     )
 
 

@@ -30,7 +30,7 @@ def parse_args(argv):
         solver=1, nx=40, ny=40, nz=1, problem="laplacian", tol=1e-8,
         max_iter=1000, coarsen="pmis", interp="ext+i", relax="chebyshev",
         theta=0.25, agg_nl=0, pmx=4, ns=1, k_dim=30, rhs="ones",
-        fromfile=None, eps=1.0, two_norm=True,
+        fromfile=None, eps=1.0, two_norm=True, poutdat=0,
     )
     it = iter(range(len(argv)))
     i = 0
@@ -90,6 +90,10 @@ def parse_args(argv):
             a["k_dim"] = int(take())
         elif f == "-rhsrand":
             a["rhs"] = "rand"
+        elif f == "-poutdat":
+            # hypre ij.c's ioutdat: 1 = setup stats, >=2 adds the
+            # per-iteration residual table (SetPrintLevel/SetLogging)
+            a["poutdat"] = int(take())
         elif f == "-eps":
             a["eps"] = float(take())
         elif f == "-help":
@@ -145,15 +149,21 @@ def run(argv) -> tuple[int, float]:
     op = lambda v: ell_spmv(A, v)
     dinv = 1.0 / A.diagonal()
 
+    _amg_cache = []
+
     def amg():
-        return BoomerAMG(
+        solver = BoomerAMG(
             coarsen_type=a["coarsen"], interp=a["interp"], relax=a["relax"],
             strength_threshold=a["theta"], agg_num_levels=a["agg_nl"],
             p_max_elmts=a["pmx"], num_sweeps=a["ns"],
         ).setup(A)
+        _amg_cache.append(solver)  # kept for -poutdat setup stats
+        return solver
 
     s = a["solver"]
     kw = dict(rtol=a["tol"], maxiter=a["max_iter"])
+    if a["poutdat"] >= 2:
+        kw["logging"] = 1
     if s == 0:
         x, info = amg().solve(b, rtol=a["tol"], maxiter=a["max_iter"])
     elif s == 1:
@@ -235,6 +245,21 @@ def run(argv) -> tuple[int, float]:
 
     iters = int(info.iterations)
     rel = float(info.relative_residual)
+    if a["poutdat"] >= 1 and "_amg_cache" in locals() and _amg_cache:
+        from hypre_tpu.stats import amg_setup_report
+
+        print(amg_setup_report(
+            _amg_cache[0].hierarchy, strength_threshold=a["theta"],
+            coarsen=a["coarsen"], interp=a["interp"],
+        ))
+    if a["poutdat"] >= 2 and info.res_history is not None:
+        import jax.numpy as _jnp
+
+        from hypre_tpu.stats import format_iteration_log
+
+        print(format_iteration_log(
+            info, float(_jnp.linalg.norm(b)), two_norm=a["two_norm"]
+        ))
     print(f"Iterations = {iters}")
     print(f"Final Relative Residual Norm = {rel:e}")
     return iters, rel

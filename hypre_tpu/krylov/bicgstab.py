@@ -25,6 +25,7 @@ def bicgstab(
     rtol: float = 1e-8,
     atol: float = 0.0,
     maxiter: int = 1000,
+    logging: int = 0,
 ) -> tuple[jax.Array, ConvergenceInfo]:
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -38,11 +39,11 @@ def bicgstab(
     one = jnp.asarray(1.0, b.dtype)
 
     def cond(state):
-        _, r, *_, i_prod, it, ok = state
+        _, r, *_, i_prod, it, ok, _ = state
         return (i_prod > eps) & (it < maxiter) & ok
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, _, it, _ = state
+        x, r, p, v, rho, alpha, omega, _, it, _, norms = state
         rho_new = dot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
@@ -59,12 +60,25 @@ def bicgstab(
         r = s - omega * t
         i_prod = dot(r, r)
         ok = jnp.isfinite(i_prod) & (rho_new != 0) & (rv != 0) & (tt > 0)
-        return (x, r, p, v, rho_new, alpha, omega, i_prod, it + 1, ok)
+        if logging > 0:
+            norms = norms.at[it + 1].set(jnp.sqrt(jnp.maximum(i_prod, 0.0)))
+        return (x, r, p, v, rho_new, alpha, omega, i_prod, it + 1, ok, norms)
 
-    state = (x, r, p, v, one, one, one, dot(r, r), jnp.int32(0), jnp.array(True))
-    x, r, *_, i_prod, iters, ok = jax.lax.while_loop(cond, body, state)
+    i0 = dot(r, r)
+    if logging > 0:
+        norms0 = jnp.full(maxiter + 1, -1.0, b.dtype).at[0].set(
+            jnp.sqrt(jnp.maximum(i0, 0.0))
+        )
+    else:
+        norms0 = jnp.zeros((0,), b.dtype)
+    state = (x, r, p, v, one, one, one, i0, jnp.int32(0), jnp.array(True),
+             norms0)
+    x, r, *_, i_prod, iters, ok, norms = jax.lax.while_loop(cond, body, state)
 
     safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
     rel = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_b)
     converged = ((i_prod <= eps) & ok) | (b_prod == 0)
-    return x, make_convergence_info(iters, rel, converged)
+    return x, make_convergence_info(
+        iters, rel, converged,
+        res_history=norms if logging > 0 else None,
+    )

@@ -37,7 +37,11 @@ def gmres(
     maxiter: int = 1000,
     k_dim: int = 30,
     gs_passes: int = 2,
+    logging: int = 0,
 ) -> tuple[jax.Array, ConvergenceInfo]:
+    """logging > 0 records per-iteration (preconditioned) residual norms —
+    the Givens-rotation estimates hypre's GMRES logs (gmres.c norms[]) —
+    into info.res_history."""
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
     n = b.shape[0]
@@ -48,7 +52,7 @@ def gmres(
     tol = jnp.maximum(rtol * den, atol)
 
     def arnoldi_step(j, carry):
-        V, R, cs, sn, g, m, active = carry
+        V, R, cs, sn, g, m, active, norms, it0 = carry
         w = M(A(V[j]))
         # CGS2: project against rows 0..j (static-shape masked matvecs)
         row_mask = (jnp.arange(V.shape[0]) <= j).astype(dtype)
@@ -90,12 +94,17 @@ def gmres(
         sn_out = jnp.where(active, sn.at[j].set(s_new), sn)
         g_out = jnp.where(active, g_new, g)
         m_out = jnp.where(active, j + 1, m)
+        if logging > 0:
+            norms = jnp.where(
+                active, norms.at[it0 + j + 1].set(res_est), norms
+            )
         # stop extending the basis once converged or on lucky breakdown
         active_out = active & (res_est > tol) & (h_next > 0)
-        return (V_out, R_out, cs_out, sn_out, g_out, m_out, active_out)
+        return (V_out, R_out, cs_out, sn_out, g_out, m_out, active_out,
+                norms, it0)
 
     def restart_cycle(state):
-        x, r_norm, it, _ = state
+        x, r_norm, it, _, norms = state
         r = b - A(x)
         z = M(r)
         beta = norm2(z)
@@ -106,8 +115,10 @@ def gmres(
         sn = jnp.zeros(k_dim, dtype)
         g = jnp.zeros(k_dim + 1, dtype).at[0].set(beta)
         m0 = jnp.int32(0)
-        carry = (V, R, cs, sn, g, m0, beta > tol)
-        V, R, cs, sn, g, m, _ = jax.lax.fori_loop(0, k_dim, arnoldi_step, carry)
+        carry = (V, R, cs, sn, g, m0, beta > tol, norms, it)
+        V, R, cs, sn, g, m, _, norms, _ = jax.lax.fori_loop(
+            0, k_dim, arnoldi_step, carry
+        )
 
         # masked upper-triangular solve R[:m,:m] y = g[:m]
         cols = jnp.arange(k_dim)
@@ -121,15 +132,24 @@ def gmres(
         # "check for convergence by evaluating the actual residual")
         r = b - A(x)
         r_norm_true = norm2(M(r))
-        return (x, r_norm_true, it + m, r_norm_true <= tol)
+        return (x, r_norm_true, it + m, r_norm_true <= tol, norms)
 
     def cond(state):
-        _, r_norm, it, converged = state
+        _, r_norm, it, converged, _ = state
         return (~converged) & (it < maxiter) & jnp.isfinite(r_norm)
 
     r0_norm = norm2(M(b - A(x)))
-    state = (x, r0_norm, jnp.int32(0), r0_norm <= tol)
-    x, r_norm, iters, converged = jax.lax.while_loop(cond, restart_cycle, state)
+    if logging > 0:
+        norms0 = jnp.full(maxiter + k_dim + 1, -1.0, dtype).at[0].set(r0_norm)
+    else:
+        norms0 = jnp.zeros((0,), dtype)
+    state = (x, r0_norm, jnp.int32(0), r0_norm <= tol, norms0)
+    x, r_norm, iters, converged, norms = jax.lax.while_loop(
+        cond, restart_cycle, state
+    )
 
     rel = r_norm / jnp.where(den > 0, den, 1.0)
-    return x, make_convergence_info(iters, rel, converged | (den == 0))
+    return x, make_convergence_info(
+        iters, rel, converged | (den == 0),
+        res_history=norms[: maxiter + 1] if logging > 0 else None,
+    )

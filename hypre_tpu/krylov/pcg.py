@@ -39,8 +39,14 @@ def pcg(
     maxiter: int = 1000,
     two_norm: bool = True,
     cf_tol: float = 0.0,
+    logging: int = 0,
 ) -> tuple[jax.Array, ConvergenceInfo]:
-    """cf_tol > 0 enables hypre's slow-convergence cutoff (pcg.h:76-105,
+    """logging > 0 records per-iteration residual norms into
+    ``info.res_history`` (hypre's SetLogging norms array, pcg.c:630-634);
+    render with ``hypre_tpu.stats.format_iteration_log`` for the driver's
+    print_level output.
+
+    cf_tol > 0 enables hypre's slow-convergence cutoff (pcg.h:76-105,
     pcg.c:727-749): track the running *average* convergence factor
     cf_ave = (i_prod/i_prod_0)^(1/(2i)), weight it by how settled the
     estimate is (1 - |cf_new - cf_old|/max(...)), and stop when
@@ -58,11 +64,11 @@ def pcg(
     i_prod0 = dot(r, r) if two_norm else gamma
 
     def cond(state):
-        _, _, _, _, i_prod, it, ok, _ = state
+        _, _, _, _, i_prod, it, ok, _, _ = state
         return (i_prod > eps) & (it < maxiter) & ok
 
     def body(state):
-        x, r, p, gamma, i_prod_prev, it, _, cf_ave_prev = state
+        x, r, p, gamma, i_prod_prev, it, _, cf_ave_prev, norms = state
         s = A(p)
         sdotp = dot(s, p)
         alpha = gamma / sdotp
@@ -86,15 +92,29 @@ def pcg(
             ok = ok & (weight * cf_ave <= cf_tol)
         beta = gamma_new / gamma
         p = z + beta * p
-        return (x, r, p, gamma_new, i_prod, it + 1, ok, cf_ave)
+        if logging > 0:
+            norms = norms.at[it + 1].set(jnp.sqrt(jnp.maximum(i_prod, 0.0)))
+        return (x, r, p, gamma_new, i_prod, it + 1, ok, cf_ave, norms)
 
     cf0 = jnp.asarray(0.0, i_prod0.dtype)
-    state = (x, r, z, gamma, i_prod0, jnp.int32(0), jnp.array(True), cf0)
-    x, r, _, _, i_prod, iters, ok, _ = jax.lax.while_loop(cond, body, state)
+    if logging > 0:
+        norms0 = jnp.full(maxiter + 1, -1.0, i_prod0.dtype).at[0].set(
+            jnp.sqrt(jnp.maximum(i_prod0, 0.0))
+        )
+    else:
+        norms0 = jnp.zeros((0,), i_prod0.dtype)
+    state = (x, r, z, gamma, i_prod0, jnp.int32(0), jnp.array(True), cf0,
+             norms0)
+    x, r, _, _, i_prod, iters, ok, _, norms = jax.lax.while_loop(
+        cond, body, state
+    )
 
     safe_bi = jnp.where(bi_prod > 0, bi_prod, 1.0)
     rel_res = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_bi)
     converged = (i_prod <= eps) & ok
     # zero-rhs: solution is x0 projected to 0-residual; report converged
     converged = converged | (bi_prod == 0)
-    return x, make_convergence_info(iters, rel_res, converged)
+    return x, make_convergence_info(
+        iters, rel_res, converged,
+        res_history=norms if logging > 0 else None,
+    )

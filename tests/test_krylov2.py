@@ -134,3 +134,35 @@ def test_lobpcg_with_preconditioner_converges_faster():
     X0 = jnp.asarray(rng.standard_normal((n, m)))
     lam, X, rn = lobpcg(op, X0, T=T, tol=1e-8, maxiter=200)
     np.testing.assert_allclose(np.sort(np.asarray(lam)), d[:m], rtol=1e-5)
+
+
+def test_logging_res_history_pcg_gmres_bicgstab():
+    # hypre SetLogging analogue: res_history records per-iteration norms
+    # consistent with the final residual (pcg.c:630-634)
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+    from hypre_tpu.seq.ell import ell_spmv
+    from hypre_tpu.krylov import bicgstab, gmres, pcg
+    from hypre_tpu.stats import format_iteration_log
+
+    A = laplacian_2d_5pt(16, 16)
+    b = jnp.ones(A.n_rows, A.dtype)
+    op = lambda v: ell_spmv(A, v)
+    bn = float(jnp.linalg.norm(b))
+    for solver in (pcg, bicgstab):
+        x, info = solver(op, b, rtol=1e-6, maxiter=200, logging=1)
+        h = np.asarray(info.res_history)
+        it = int(info.iterations)
+        assert h[0] > 0  # initial ||r||
+        assert (h[1:it + 1] > 0).all()
+        # final recorded norm matches the reported relative residual
+        np.testing.assert_allclose(h[it] / bn, float(info.relative_residual),
+                                   rtol=1e-3)
+        assert (h[it + 1:] == -1).all()
+        log = format_iteration_log(info, bn)
+        lines = log.splitlines()
+        assert lines[0].startswith("Iters")
+        assert len(lines) == 2 + it
+    x, info = gmres(op, b, rtol=1e-6, maxiter=200, logging=1)
+    h = np.asarray(info.res_history)
+    assert h[0] > 0 and int(info.iterations) >= 1
+    assert (h[1:int(info.iterations) + 1] > 0).all()
