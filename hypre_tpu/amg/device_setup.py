@@ -115,7 +115,7 @@ def _scatter_add_counts(cols: jax.Array, mask: jax.Array, n_cols: int,
 
 
 def strength_and_cap(A: EllMatrix, theta: float, s_cap: int, shifts=None,
-                     with_back: bool = False):
+                     with_back: bool = False, tie_cols=None):
     """Strength mask of A (hypre classical negative-coupling definition,
     matching amg/strength.py) + a compact strong-pattern slab (scols,
     svals) of width <= s_cap holding the strongest connections.
@@ -146,9 +146,11 @@ def strength_and_cap(A: EllMatrix, theta: float, s_cap: int, shifts=None,
         sback = jnp.where(S, B_full, 0.0)
     if shifts is None and s_cap < A.k:
         if with_back:
-            scols, svals, sback = cap_slab(scols, svals, s_cap, extra=(sback,))
+            scols, svals, sback = cap_slab(
+                scols, svals, s_cap, extra=(sback,), tie_cols=tie_cols
+            )
         else:
-            scols, svals = cap_slab(scols, svals, s_cap)
+            scols, svals = cap_slab(scols, svals, s_cap, tie_cols=tie_cols)
     return S, scols, svals, sback
 
 
@@ -274,6 +276,26 @@ def paired_transpose_vals(cols: jax.Array, vals: jax.Array, n: int,
 # ---------------------------------------------------------------------------
 
 
+def extpi_pack_sources(scols, svals, sgn, is_c_cols, cmap_cols=None):
+    """Per-row packed ext+i gather payloads: [thetaC | strongC a_hat] and
+    the strongC columns (mapped through cmap_cols when given — global
+    coarse numbering for the distributed path). ``is_c_cols`` /
+    ``cmap_cols`` are indexed by scols' COLUMN space (the extended
+    local+halo space in the distributed setting)."""
+    s_valid = scols >= 0
+    svals = jnp.where(s_valid, svals, 0.0)
+    s_hat = jnp.where(svals * sgn[:, None] < 0, svals, 0.0)
+    s_is_c = jnp.where(s_valid, is_c_cols[jnp.maximum(scols, 0)], False)
+    own_strongC = s_valid & s_is_c
+    thetaC = jnp.sum(jnp.where(own_strongC, s_hat, 0.0), axis=1)
+    pc = jnp.where(own_strongC, scols, PAD_COL)
+    if cmap_cols is not None:
+        pc = jnp.where(pc >= 0, cmap_cols[jnp.maximum(pc, 0)], PAD_COL)
+    pv = jnp.where(own_strongC, s_hat, 0.0)
+    packed_f = jnp.concatenate([thetaC[:, None], pv], axis=1)
+    return packed_f, pc
+
+
 def ext_plus_i_device(
     A: EllMatrix,
     scols: jax.Array,
@@ -285,6 +307,8 @@ def ext_plus_i_device(
     shifts=None,
     back_hat: jax.Array | None = None,
     chunks: int = 1,
+    col_sources=None,
+    out_cols=None,
 ):
     """ext+i on the capped strong slab. Returns (cols_fine, vals, req).
 
@@ -296,6 +320,13 @@ def ext_plus_i_device(
     alignment pass (paired_transpose_vals). ``chunks`` > 1 processes rows
     in lax.map chunks to bound peak HBM (the candidate slab is
     (n, ks + ks^2) floats plus sort copies).
+
+    Distribution hooks (the ExtractBExt formulation, par_csr_matop.c):
+    ``col_sources = (col_is_c, col_packed_f, col_packed_i, col_sgn)``
+    supplies the gather-source arrays over A's COLUMN space (local + halo
+    rows exchanged from their owners) when it differs from the row space;
+    ``out_cols = (cand1_cols, own_cols)`` overrides the emitted column
+    numbering (e.g. global coarse indices), skipping any later remap.
     """
     n, k = A.cols.shape
     ks = scols.shape[1]
@@ -312,24 +343,28 @@ def ext_plus_i_device(
     strong_sum = jnp.sum(svals, axis=1)
     weak_sum = off_sum - strong_sum
 
-    is_c = cf == C_PT
     scols_c = jnp.maximum(scols, 0)
-    s_is_c = jnp.where(s_valid, _gather_rows(is_c, scols_c, shifts), False)
-
-    s_hat = jnp.where(svals * sgn[:, None] < 0, svals, 0.0)
-    own_strongC = s_valid & s_is_c
-    thetaC_own = jnp.sum(jnp.where(own_strongC, s_hat, 0.0), axis=1)
-    pc = jnp.where(own_strongC, scols, PAD_COL)
-    pv = jnp.where(own_strongC, s_hat, 0.0)
-    packed_f_src = jnp.concatenate([thetaC_own[:, None], pv], axis=1)  # (n,W)
-    packed_i_src = pc  # (n, ks)
+    if col_sources is None:
+        is_c_src = cf == C_PT
+        packed_f_src, packed_i_src = extpi_pack_sources(
+            scols, svals, sgn, is_c_src
+        )
+        sgn_src = sgn
+    else:
+        is_c_src, packed_f_src, packed_i_src, sgn_src = col_sources
+    s_is_c = jnp.where(s_valid, _gather_rows(is_c_src, scols_c, shifts), False)
 
     if back_hat is None:
-        g_sgn = _gather_rows(sgn, scols_c, shifts)
+        # symmetric-value fast path: a_hat_{ji} = sign_j-filtered a_ij
+        g_sgn = _gather_rows(sgn_src, scols_c, shifts)
         back_hat = jnp.where(svals * g_sgn < 0, svals, 0.0)
     back_hat = jnp.where(s_valid, back_hat, 0.0)
 
-    strongC = own_strongC
+    if out_cols is None:
+        cand1_cols_slab = scols
+        own_cols = rows_all
+    else:
+        cand1_cols_slab, own_cols = out_cols
 
     def chunk_fn(scols_cc, svals_c, s_valid_c, s_is_c_c, back_c, diag_c,
                  weak_c, cf_c, rows_c, strongC_cols_c):
@@ -385,7 +420,7 @@ def ext_plus_i_device(
         )
 
     args = (scols_c, svals, s_valid, s_is_c, back_hat, diag, weak_sum, cf,
-            rows_all, scols)
+            own_cols, cand1_cols_slab)
     if chunks <= 1 or shifts is not None:
         mc, mv, req = chunk_fn(*args)
         return mc, mv, req

@@ -101,7 +101,9 @@ def build_halo_schedule(
                 m_o = max(m_o, len(needs[d].get(s, ())))
         sizes.append(max(m_o, 1))
     M = sum(sizes) if sizes else 1
-    send_idx = np.zeros((P, M), dtype=np.int32)
+    # padding slots hold -1 (NOT 0 — a genuine local index): forward
+    # exchanges clamp-and-ignore them, reverse merges must skip them
+    send_idx = np.full((P, M), -1, dtype=np.int32)
     recv_pos: list = []
     starts = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
     for d in range(P):

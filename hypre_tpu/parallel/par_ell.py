@@ -149,7 +149,8 @@ def par_spmv(A: ParEllMatrix, x: jax.Array) -> jax.Array:
 
     def shard_fn(dvals, dcols, ovals, ocols, send_idx, x_local):
         # send_idx local block: (1, M) — this shard's outgoing pack map
-        send = jnp.take(x_local, send_idx[0], axis=0)
+        # (-1 = padding; clamp for the gather, receivers never read those)
+        send = jnp.take(x_local, jnp.maximum(send_idx[0], 0), axis=0)
         halo = _exchange(send, offsets, sizes, nshards)
         return _local_spmv(dvals, dcols, x_local) + _local_spmv(ovals, ocols, halo)
 
@@ -174,7 +175,9 @@ def par_spmv_t(A: ParEllMatrix, x: jax.Array) -> jax.Array:
         y = _local_spmv_t(dvals, dcols, x_local, n_col_local)
         contrib = _local_spmv_t(ovals, ocols, x_local, max(M, 1))
         back = _exchange_rev(contrib[:M], offsets, sizes, nshards)
-        return y.at[send_idx[0]].add(back)
+        # padding slots scatter out of bounds and are dropped
+        dst = jnp.where(send_idx[0] >= 0, send_idx[0], n_col_local)
+        return y.at[dst].add(back)
 
     spec_rows = P(ROW_AXIS)
     return _shard_map(

@@ -85,8 +85,10 @@ def merge_slab(cols: jax.Array, vals: jax.Array, out_k: int,
         else:
             keep_mag = is_new
         # rank uniques by |total| descending: sort by -mag, slice, re-sort
+        # (tie-break equal magnitudes by column so truncation picks the
+        # same entries regardless of candidate slot order)
         skey = jnp.where(is_new & keep_mag, -mag, jnp.inf).astype(val_s.dtype)
-        sk, c2, v2 = sort_slab(skey, key_s, tot)
+        sk, c2, v2 = sort_slab(skey, key_s, tot, num_keys=2)
         kk = max_elmts if max_elmts > 0 else out_k
         alive = ~jnp.isinf(sk[:, :kk])  # dead slots carried a +inf key
         c2 = jnp.where(alive, c2[:, :kk], PAD_COL)
@@ -115,7 +117,7 @@ def merge_slab(cols: jax.Array, vals: jax.Array, out_k: int,
 
 def cap_slab(cols: jax.Array, vals: jax.Array, kcap: int,
              rescale_rowsum: bool = False, lump_largest: bool = False,
-             extra: tuple = ()):
+             extra: tuple = (), tie_cols=None):
     """Keep the ``kcap`` largest-|v| entries per row (col-sorted output).
 
     The setup-path analogue of hypre's P_max_elmts applied to arbitrary
@@ -131,7 +133,12 @@ def cap_slab(cols: jax.Array, vals: jax.Array, kcap: int,
         return (cols, vals, *extra)
     vals = jnp.where(cols >= 0, vals, 0)
     mag = jnp.where(cols >= 0, jnp.abs(vals), -1.0).astype(vals.dtype)
-    _, c2, v2, *e2 = sort_slab(-mag, cols, vals, *extra)
+    # tie-break equal magnitudes by column so the selection is independent
+    # of slot order (the distributed path sees diag/offd-reordered slabs);
+    # tie_cols lets that path substitute GLOBAL ids for its local indices
+    tcols = cols if tie_cols is None else tie_cols
+    tie = jnp.where(cols >= 0, tcols, _BIG)
+    _, _, c2, v2, *e2 = sort_slab(-mag, tie, cols, vals, *extra, num_keys=2)
     c2, v2 = c2[:, :kcap], v2[:, :kcap]
     e2 = [e[:, :kcap] for e in e2]
     c2 = jnp.where(c2 >= 0, c2, PAD_COL)

@@ -1,0 +1,120 @@
+"""Distributed AMG setup (parallel/par_setup.py) on the 8-device CPU mesh:
+boundary-correct PMIS, distributed ext+i, distributed RAP — all compared
+against the single-device device-setup oracle on the global operator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu.amg.coarsen import pmis
+from hypre_tpu.amg.device_setup import setup_hierarchy_device
+from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother
+from hypre_tpu.amg.strength import strength_mask
+from hypre_tpu.krylov import pcg
+from hypre_tpu.parallel import make_mesh, par_spmv, partition_ell
+from hypre_tpu.parallel.par_ell import collect_vector, distribute_vector
+from hypre_tpu.parallel.par_setup import (
+    par_split_phase, setup_hierarchy_par,
+)
+from hypre_tpu.problems.laplacian import laplacian_2d_5pt, laplacian_3d_7pt
+from hypre_tpu.seq.ell import ell_spmv
+
+
+def _dense_of_par(Apar):
+    from hypre_tpu.parallel.par_setup import _gather_dense
+
+    return _gather_dense(Apar)
+
+
+def _dense_of_ell(A):
+    cols, vals = np.asarray(A.cols), np.asarray(A.vals)
+    d = np.zeros((A.n_rows, A.n_cols))
+    for i in range(A.n_rows):
+        for c, v in zip(cols[i], vals[i]):
+            if c >= 0:
+                d[i, c] += v
+    return d
+
+
+def test_par_pmis_matches_global_oracle():
+    # the distributed splitting must be EXACTLY the single-device PMIS on
+    # the global operator (boundary exchanges make the neighbor maxima
+    # correct; global-row-id hash makes tie-breaks shard-invariant)
+    A = laplacian_3d_7pt(8, 8, 8)
+    mesh = make_mesh(8)
+    Apar = partition_ell(A, mesh)
+    S = strength_mask(A, 0.25)
+    cf_ref = np.asarray(pmis(A, S))
+    _, _, cf, cmap, n_c = par_split_phase(
+        Apar, jnp.asarray(0.25, A.dtype), s_cap=12
+    )
+    cf_par = np.asarray(cf)[: A.n_rows]
+    np.testing.assert_array_equal(cf_par, cf_ref)
+    assert int(n_c) == int((cf_ref == 1).sum())
+    # cmap is the global cumulative numbering
+    cm = np.asarray(cmap)[: A.n_rows]
+    expect = np.where(cf_ref == 1, np.cumsum(cf_ref == 1) - 1, -1)
+    np.testing.assert_array_equal(cm, expect)
+
+
+def test_par_hierarchy_matches_single_device():
+    # hierarchy built on the sharded operator == hierarchy built globally
+    # (same level sizes, same coarse operators up to padding)
+    A = laplacian_3d_7pt(8, 8, 8)
+    import dataclasses
+
+    A_nos = dataclasses.replace(A, shifts=None)  # same gather path
+    mesh = make_mesh(8)
+    Apar = partition_ell(A, mesh)
+    hier_ref = setup_hierarchy_device(A_nos, max_coarse_size=40)
+    hier_par = setup_hierarchy_par(Apar, max_coarse_size=40)
+    assert len(hier_par.levels) == len(hier_ref.levels)
+    for lp, lr in zip(hier_par.levels, hier_ref.levels):
+        assert lp.A.n_rows == lr.A.n_rows
+        dp = _dense_of_par(lp.A)
+        dr = _dense_of_ell(lr.A)
+        np.testing.assert_allclose(dp, dr, rtol=1e-4, atol=1e-6)
+        # interpolation matches too
+        pp = _dense_of_par(lp.P)[: lr.P.n_rows, : lr.P.n_cols]
+        pr = _dense_of_ell(lr.P)
+        np.testing.assert_allclose(pp, pr, rtol=1e-4, atol=1e-6)
+
+
+def test_par_hierarchy_distributed_solve_iteration_parity():
+    # VERDICT r1 #2 done-bar: sharded setup on a meaningful problem with
+    # iteration parity against the single-device hierarchy
+    n = 16
+    A = laplacian_3d_7pt(n, n, n)
+    mesh = make_mesh(8)
+    Apar = partition_ell(A, mesh)
+    hier = setup_hierarchy_par(Apar, max_coarse_size=100)
+    assert len(hier.levels) >= 2
+    smoother = make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    b_host = np.random.default_rng(0).standard_normal(A.n_rows)
+    b = distribute_vector(b_host, mesh, A.n_rows)
+
+    def M(r):
+        return amg_cycle(hier, r, smoother=smoother)
+
+    x, info = pcg(lambda v: par_spmv(hier.levels[0].A, v), b, M=M,
+                  rtol=1e-8, maxiter=60)
+    xg = collect_vector(x, A.n_rows)
+    r = b_host - np.asarray(ell_spmv(A, jnp.asarray(xg, A.dtype)))
+    rel = float(np.linalg.norm(r) / np.linalg.norm(b_host))
+    assert bool(info.converged)
+    assert rel < 1e-6
+
+    # single-device reference iterations
+    import dataclasses
+
+    hier_ref = setup_hierarchy_device(
+        dataclasses.replace(A, shifts=None), max_coarse_size=100
+    )
+    x2, info2 = pcg(
+        lambda v: ell_spmv(hier_ref.levels[0].A, v),
+        jnp.asarray(b_host, A.dtype),
+        M=lambda r: amg_cycle(hier_ref, r, smoother=smoother),
+        rtol=1e-8, maxiter=60,
+    )
+    assert int(info.iterations) == int(info2.iterations)
