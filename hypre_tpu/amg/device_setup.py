@@ -616,6 +616,24 @@ def _coarse_map(cf: jax.Array):
     )
 
 
+@partial(jax.jit, static_argnames=("s_cap", "s2_cap", "shifts"))
+def _jit_split_agg(vals, cols, theta, s_cap, s2_cap, shifts):
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    S, scols, svals, _ = strength_and_cap(A, theta, s_cap, shifts)
+    cf1 = pmis_device(scols, A.n_rows, shifts=shifts)
+    cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap, shifts)
+    cmap, n_c = _coarse_map(cf)
+    return scols, svals, cf, cmap, n_c
+
+
+@partial(jax.jit, static_argnames=("p_max", "shifts"))
+def _jit_multipass(vals, cols, scols, svals, cf, cmap, p_max, shifts):
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    return multipass_interp_device(
+        A, scols, svals, cf, cmap, p_max, shifts=shifts
+    )
+
+
 @partial(jax.jit, static_argnames=("s_cap", "shifts", "symmetric"))
 def _jit_split(vals, cols, theta, s_cap, shifts, symmetric):
     A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
@@ -685,6 +703,7 @@ def setup_hierarchy_device(
     s_cap: int = 12,
     ap_cap: int = 0,
     symmetric: bool = True,
+    agg_num_levels: int = 0,
 ):
     """Device-resident BoomerAMG setup: PMIS + ext+i + Galerkin RAP, all on
     the accelerator (hypre's par_amg_setup.c device path). Returns the same
@@ -709,10 +728,21 @@ def setup_hierarchy_device(
 
     while len(levels) < max_levels - 1 and A_cur.n_rows > max_coarse_size:
         n, kA = A_cur.cols.shape
-        scols, svals, sback, cf, cmap, n_c = _jit_split(
-            A_cur.vals, A_cur.cols, jnp.asarray(strength_threshold, dtype),
-            min(s_cap, A_cur.k), shifts, symmetric,
-        )
+        aggressive = len(levels) < agg_num_levels
+        if aggressive:
+            scols, svals, cf, cmap, n_c = _jit_split_agg(
+                A_cur.vals, A_cur.cols,
+                jnp.asarray(strength_threshold, dtype),
+                min(s_cap, A_cur.k), _bucket(4 * min(s_cap, A_cur.k)),
+                shifts,
+            )
+            sback = jnp.zeros((0,), dtype)
+        else:
+            scols, svals, sback, cf, cmap, n_c = _jit_split(
+                A_cur.vals, A_cur.cols,
+                jnp.asarray(strength_threshold, dtype),
+                min(s_cap, A_cur.k), shifts, symmetric,
+            )
         n_coarse = int(n_c)
         if n_coarse == 0 or n_coarse >= coarsen_rtol * n:
             break
@@ -728,16 +758,23 @@ def setup_hierarchy_device(
             return c
 
         ch_i = nchunks(n, ks * ks + ks + 1)
-        pc, pv, req = _jit_interp(
-            A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap, out_k,
-            p_max_elmts, float(trunc_factor), shifts, symmetric, ch_i,
-        )
-        if p_max_elmts <= 0 and int(req) > out_k:
-            pc, pv, req = _jit_interp(
-                A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap,
-                _bucket(int(req)), p_max_elmts, float(trunc_factor), shifts,
-                symmetric, ch_i,
+        if aggressive:
+            # multipass interpolation (hypre's agg_interp_type default 4)
+            pc, pv, req = _jit_multipass(
+                A_cur.vals, A_cur.cols, scols, svals, cf, cmap,
+                max(p_max_elmts, 1), shifts,
             )
+        else:
+            pc, pv, req = _jit_interp(
+                A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap, out_k,
+                p_max_elmts, float(trunc_factor), shifts, symmetric, ch_i,
+            )
+            if p_max_elmts <= 0 and int(req) > out_k:
+                pc, pv, req = _jit_interp(
+                    A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap,
+                    _bucket(int(req)), p_max_elmts, float(trunc_factor),
+                    shifts, symmetric, ch_i,
+                )
         P = EllMatrix(vals=pv, cols=pc, n_cols=n_coarse)
 
         # A @ P
@@ -791,3 +828,128 @@ def setup_hierarchy_device(
     if not bool(jnp.isfinite(resid)) or float(resid) > 1e-3:
         inv = jnp.linalg.pinv(dense, rcond=1e-6)
     return AMGHierarchy(levels=levels, coarse_inv=inv, galerkin=True)
+
+
+# ---------------------------------------------------------------------------
+# Aggressive coarsening: distance-2 strength + second PMIS + multipass
+# interpolation (par_amg_setup.c:1193 Create2ndS, par_multi_interp.c)
+# ---------------------------------------------------------------------------
+
+
+def second_pass_pmis(scols: jax.Array, cf1: jax.Array, n: int,
+                     s2_cap: int, shifts=None) -> jax.Array:
+    """Aggressive second coarsening pass: build the distance-2 strength
+    pattern among first-pass C points (hypre_BoomerAMGCreate2ndS) and run
+    PMIS on it. Returns the FINAL cf (C = second-pass C, everything else F).
+
+    S2(i,j), i,j in C1: S(i,j) or exists k with S(i,k) & S(k,j). The
+    pattern product is one row-gather of the strong slab + a slab merge
+    (cols only); rolls when shift-structured.
+    """
+    ks = scols.shape[1]
+    is_c1 = cf1 == C_PT
+    cols_c = jnp.maximum(scols, 0)
+    s_valid = scols >= 0
+
+    # pre-filter each row's strong slab to its C1 columns, THEN gather those
+    # filtered rows — candidates are C1-only by construction, so no
+    # per-candidate membership gather is needed (and the row gather rides
+    # rolls on stencil levels)
+    s_is_c1 = jnp.where(s_valid, _gather_rows(is_c1, cols_c, shifts), False)
+    sc1 = jnp.where(s_valid & s_is_c1, scols, PAD_COL)
+    nb_cols = _gather_rows(sc1, cols_c, shifts)  # (n, ks, ks)
+    nb_cols = jnp.where(
+        s_valid[:, :, None] & (nb_cols >= 0), nb_cols, PAD_COL
+    ).reshape(n, ks * ks)
+    cand_c1 = jnp.concatenate([sc1, nb_cols], 1)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cand_c1 = jnp.where(cand_c1 == rows, PAD_COL, cand_c1)
+    cand_c1 = jnp.where(is_c1[:, None], cand_c1, PAD_COL)
+    s2cols, _, _ = merge_slab(
+        cand_c1, jnp.zeros_like(cand_c1, dtype=jnp.float32), s2_cap
+    )
+    cf2 = pmis_device(s2cols, n)
+    # isolated C1 points (no strong C1 within distance 2) must stay C —
+    # nothing can interpolate them otherwise
+    iso_c1 = is_c1 & ~jnp.any(s2cols >= 0, axis=1)
+    cf = jnp.where(is_c1 & (cf2 == C_PT), C_PT, F_PT)
+    return jnp.where(iso_c1, C_PT, cf).astype(jnp.int32)
+
+
+def multipass_interp_device(
+    A: EllMatrix,
+    scols: jax.Array,
+    svals: jax.Array,
+    cf: jax.Array,
+    cmap: jax.Array,
+    p_max_elmts: int,
+    shifts=None,
+    max_passes: int = 6,
+):
+    """Multipass interpolation (hypre_BoomerAMGBuildMultipass,
+    par_multi_interp.c; same math as amg/interp.multipass_interp which is
+    the host oracle): pass-1 F points use direct interpolation over their
+    strong C neighbors; a pass-p point combines its strong lower-pass
+    neighbors' P rows, rescaled so the row sum equals -(sum off-diag)/a_ii.
+
+    Device formulation: pass assignment by a few gather rounds, then one
+    sweep per pass gathering the packed (cols|vals) P slab of strong
+    neighbors and slab-merging. Columns come out in coarse numbering.
+    Returns (pc, pv, req).
+    """
+    n, k = A.cols.shape
+    ks = scols.shape[1]
+    dtype = A.dtype
+    diag = A.diagonal()
+    d_safe = jnp.where(diag != 0, diag, 1.0)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    offd = (A.cols >= 0) & (A.cols != rows[:, None])
+    offsum = jnp.sum(jnp.where(offd, A.vals, 0), axis=1)
+    target = -offsum / d_safe  # constant-preserving row-sum target
+
+    s_valid = scols >= 0
+    svals = jnp.where(s_valid, svals, 0.0)
+    cols_c = jnp.maximum(scols, 0)
+    is_c = cf == C_PT
+
+    # pass numbers: C=0; F reachable through strong lower-pass neighbors
+    passno = jnp.where(is_c, 0, -1).astype(jnp.int32)
+    for r in range(1, max_passes + 1):
+        nb = _gather_rows(passno, cols_c, shifts)
+        reachable = jnp.any(s_valid & (nb >= 0) & (nb < r), axis=1)
+        passno = jnp.where((passno < 0) & reachable, r, passno)
+    # unreachable F points keep -1 and get empty rows (hypre drops them too)
+
+    width = p_max_elmts if p_max_elmts > 0 else min(4 * ks, 32)
+    pc = jnp.where(is_c, cmap, PAD_COL)[:, None]
+    pv = jnp.where(is_c, 1.0, 0.0).astype(dtype)[:, None]
+    pad_c = jnp.full((n, width - 1), PAD_COL, jnp.int32)
+    pad_v = jnp.zeros((n, width - 1), dtype)
+    pc = jnp.concatenate([pc, pad_c], axis=1)
+    pv = jnp.concatenate([pv, pad_v], axis=1)
+
+    req_all = jnp.int32(0)
+    for p in range(1, max_passes + 1):
+        nb_pass = _gather_rows(passno, cols_c, shifts)
+        lower = s_valid & (nb_pass >= 0) & (nb_pass < p)
+        gc = _gather_rows(pc, cols_c, shifts).reshape(n, ks * width)
+        gv = _gather_rows(pv, cols_c, shifts).reshape(n, ks * width)
+        rep = lambda x: jnp.repeat(x, width, axis=1)
+        coef = rep(jnp.where(lower, -svals / d_safe[:, None], 0.0))
+        cand_c = jnp.where(rep(lower) & (gc >= 0), gc, PAD_COL)
+        cand_v = jnp.where(cand_c >= 0, coef * gv, 0.0)
+        mc, mv, req = merge_slab(
+            cand_c, cand_v, width, max_elmts=p_max_elmts
+        )
+        req_all = jnp.maximum(req_all, req)
+        # rescale to the constant-preserving target (hypre's per-pass scale)
+        ssum = jnp.sum(mv, axis=1)
+        scale = jnp.where(
+            (ssum != 0) & (target != 0), target / jnp.where(ssum != 0, ssum, 1.0),
+            1.0,
+        )
+        mv = mv * scale[:, None]
+        mine = passno == p
+        pc = jnp.where(mine[:, None], mc[:, :width], pc)
+        pv = jnp.where(mine[:, None], mv[:, :width], pv)
+    return pc, pv, req_all

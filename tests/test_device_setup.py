@@ -211,3 +211,50 @@ def test_spgemm_and_extpi_chunked_match_unchunked():
         rtol=1e-6, atol=1e-9,
     )
     assert int(c1[2]) == int(c3[2])
+
+
+def test_multipass_device_matches_host_oracle():
+    # device multipass == host multipass (amg/interp.multipass_interp) on
+    # the same CF splitting (par_multi_interp.c semantics)
+    from hypre_tpu.amg.device_setup import (
+        multipass_interp_device, second_pass_pmis,
+    )
+    from hypre_tpu.amg.interp import multipass_interp
+
+    A = laplacian_2d_5pt(12, 10)
+    S = strength_mask(A, 0.25)
+    cf1 = pmis(A, S)
+    scols = jnp.where(S, A.cols, PAD_COL)
+    svals = jnp.where(S, A.vals, 0.0)
+    cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap=24)
+    cmap, n_c = coarse_map(cf)
+    n_coarse = int(n_c)
+    assert 0 < n_coarse < int(jnp.sum(cf1 == 1))  # aggressive: fewer C
+
+    P_ref = multipass_interp(A, S, cf, cmap, n_coarse, p_max_elmts=4)
+    pc, pv, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4)
+    np.testing.assert_allclose(
+        _dense(pc, pv, n_coarse), _dense(P_ref.cols, P_ref.vals, n_coarse),
+        rtol=1e-5, atol=1e-8,
+    )
+
+
+def test_setup_hierarchy_device_aggressive():
+    from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = laplacian_3d_7pt(16, 16, 16)
+    hier = setup_hierarchy_device(A, max_coarse_size=60, agg_num_levels=1)
+    hier0 = setup_hierarchy_device(A, max_coarse_size=60)
+    # aggressive first level coarsens much harder than plain PMIS
+    assert hier.levels[1].A.n_rows < 0.6 * hier0.levels[1].A.n_rows
+    smoother = make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows), A.dtype)
+    x, info = pcg(
+        lambda v: ell_spmv(A, v), b,
+        M=lambda r: amg_cycle(hier, r, smoother=smoother),
+        rtol=1e-8, maxiter=60,
+    )
+    assert bool(info.converged)
+    assert int(info.iterations) <= 20, f"{info}"
