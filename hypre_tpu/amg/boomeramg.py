@@ -89,6 +89,9 @@ class BoomerAMG:
         the solve phase then runs fully on device. "auto" = host setup when
         the default backend is not already CPU and a CPU backend exists.
         """
+        if self.setup_backend == "device":
+            # the device backend runs setup ON the accelerator by design
+            host_setup = False
         if host_setup == "auto":
             try:
                 host_setup = jax.default_backend() != "cpu" and bool(jax.devices("cpu"))

@@ -111,11 +111,11 @@ def setup_hierarchy(
                 "the device setup backend currently covers pmis + ext+i "
                 f"(got coarsen={coarsen!r}, interp={interp!r})"
             )
-        if agg_num_levels > 0 or restrict_type != "transpose" or (
+        if restrict_type != "transpose" or (
             nongalerkin_tol > 0 or interp_jacobi_passes > 0
         ):
             raise ValueError(
-                "device setup backend: agg/AIR/non-Galerkin/Jacobi-interp "
+                "device setup backend: AIR/non-Galerkin/Jacobi-interp "
                 "knobs are not wired yet — use the native or jax backend"
             )
         return setup_hierarchy_device(
@@ -127,6 +127,7 @@ def setup_hierarchy(
             trunc_factor=trunc_factor,
             relax=relax,
             coarsen_rtol=coarsen_rtol,
+            agg_num_levels=agg_num_levels,
         )
     if setup_backend == "auto":
         from hypre_tpu import native as _native
