@@ -704,6 +704,7 @@ def setup_hierarchy_device(
     ap_cap: int = 0,
     symmetric: bool = True,
     agg_num_levels: int = 0,
+    width_plan: dict | None = None,
 ):
     """Device-resident BoomerAMG setup: PMIS + ext+i + Galerkin RAP, all on
     the accelerator (hypre's par_amg_setup.c device path). Returns the same
@@ -717,9 +718,15 @@ def setup_hierarchy_device(
     non-Galerkin-style sparsification that bounds RAP cost.
     symmetric: value-symmetry of A (lets ext+i's back-coupling avoid a
     transpose alignment pass; pattern symmetry is assumed either way).
+    width_plan: a dict (shared across calls) remembering the exact slab
+    widths each level needed; on repeat setups with the same sparsity
+    (the benchmark's warmup protocol, or time-stepping with a frozen
+    pattern) every capacity guess is exact and no retry recompiles or
+    re-runs anything.
     """
     from hypre_tpu.amg.hierarchy import AMGHierarchy, Level, _level_vectors
 
+    plan = width_plan if width_plan is not None else {}
     need_cheby = relax == "chebyshev"
     dtype = A.dtype
     levels: List[Level] = []
@@ -777,30 +784,40 @@ def setup_hierarchy_device(
                 )
         P = EllMatrix(vals=pv, cols=pc, n_cols=n_coarse)
 
+        lev_id = len(levels)
+
         # A @ P
-        out_ap = _bucket(min(kA * P.k, 3 * kA + 8))
+        out_ap = plan.get((lev_id, "ap"), _bucket(min(kA * P.k, 3 * kA + 8)))
         ch_ap = nchunks(n, kA * P.k)
         apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv, out_ap,
                                 shifts, ap_cap, ch_ap)
         if int(req) > out_ap:
-            apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv,
-                                    _bucket(int(req)), shifts, ap_cap, ch_ap)
+            out_ap = _bucket(int(req))
+            apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv, out_ap,
+                                    shifts, ap_cap, ch_ap)
+        plan[(lev_id, "ap")] = max(out_ap if ap_cap else _bucket(int(req)),
+                                   _bucket(int(req)))
         kAP = apc.shape[1]
 
         # P^T (needed for both the triple product and the hierarchy)
         nnz_p = int(_jit_nnz(pc))
-        out_t = _bucket(max(int(2.5 * nnz_p / max(n_coarse, 1)), 4))
+        out_t = plan.get(
+            (lev_id, "t"), _bucket(max(int(2.5 * nnz_p / max(n_coarse, 1)), 4))
+        )
         tc, tv, req = _jit_transpose(pc, pv, n_coarse, out_t)
         if int(req) > out_t:
-            tc, tv, req = _jit_transpose(pc, pv, n_coarse, _bucket(int(req)))
+            out_t = _bucket(int(req))
+            tc, tv, req = _jit_transpose(pc, pv, n_coarse, out_t)
+        plan[(lev_id, "t")] = _bucket(int(req))
 
         # A_c = P^T (A P)
-        out_ac = _bucket(max(3 * kA, 32))
+        out_ac = plan.get((lev_id, "ac"), _bucket(max(3 * kA, 32)))
         ch_ac = nchunks(n_coarse, tc.shape[1] * kAP)
         acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
         if int(req) > out_ac:
-            acc, acv, req = _jit_spgemm(tc, tv, apc, apv, _bucket(int(req)),
-                                        ch_ac)
+            out_ac = _bucket(int(req))
+            acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
+        plan[(lev_id, "ac")] = _bucket(int(req))
 
         dinv, l1inv, lmax = jax.jit(
             _level_vectors, static_argnums=1

@@ -147,3 +147,62 @@ def rotated_anisotropy_2d(nx: int, ny: int, eps: float = 0.001, theta_deg: float
 def laplacian_1d(n: int, dtype=None) -> EllMatrix:
     """-u'' on n points, 3-point stencil (the 1-D driver problem)."""
     return stencil_to_ell((n,), [(0,), (-1,), (1,)], [2.0, -1.0, -1.0], dtype)
+
+
+def elasticity_2d(nx: int, ny: int, lam: float = 1.0, mu: float = 1.0,
+                  dtype=None) -> EllMatrix:
+    """2-D linear elasticity (Navier) FD operator, 2 dofs (u,v) per node —
+    the systems test problem for nodal/block AMG (hypre's num_functions=2
+    cases; driver -sysL analogue):
+
+        -( (lam+2mu) u_xx + mu u_yy ) - (lam+mu) v_xy = f_u
+        -( mu v_xx + (lam+2mu) v_yy ) - (lam+mu) u_xy = f_v
+
+    Dirichlet truncation at the boundary; dof ordering = node-major
+    (node (i,j) -> unknowns 2*(i*ny+j) + {0,1}), so ``ell_to_bsr(A, 2)``
+    recovers the nodal block structure exactly.
+    """
+    dtype = dtype or default_real_dtype()
+    n_nodes = nx * ny
+    n = 2 * n_nodes
+    rows, cols, vals = [], [], []
+
+    def node(i, j):
+        return i * ny + j
+
+    def add(r, c, v):
+        rows.append(r)
+        cols.append(c)
+        vals.append(v)
+
+    a = lam + 2 * mu
+    c4 = (lam + mu) / 4.0
+    for i in range(nx):
+        for j in range(ny):
+            nu = 2 * node(i, j)
+            nv = nu + 1
+            add(nu, nu, 2 * a + 2 * mu)
+            add(nv, nv, 2 * a + 2 * mu)
+            for di, dj, cu, cv in (
+                (-1, 0, -a, -mu), (1, 0, -a, -mu),
+                (0, -1, -mu, -a), (0, 1, -mu, -a),
+            ):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < nx and 0 <= jj < ny:
+                    add(nu, 2 * node(ii, jj), cu)
+                    add(nv, 2 * node(ii, jj) + 1, cv)
+            # mixed derivative couples u<->v at the diagonal corners
+            for di, dj, sgn in (
+                (1, 1, -1.0), (1, -1, 1.0), (-1, 1, 1.0), (-1, -1, -1.0)
+            ):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < nx and 0 <= jj < ny:
+                    add(nu, 2 * node(ii, jj) + 1, sgn * c4)
+                    add(nv, 2 * node(ii, jj), sgn * c4)
+    from hypre_tpu.seq.csr import HostCSR
+    from hypre_tpu.seq.ell import csr_to_ell
+
+    csr = HostCSR.from_coo(
+        np.asarray(rows), np.asarray(cols), np.asarray(vals, dtype), (n, n)
+    )
+    return csr_to_ell(csr, dtype=dtype)

@@ -277,3 +277,39 @@ def test_extpi_native_positive_offdiag_rows():
     # C rows are identity
     for i in np.nonzero(is_c)[0]:
         assert Pp[i + 1] - Pp[i] == 1 and Pj[Pp[i]] == cmap[i] and Px[Pp[i]] == 1.0
+
+
+def test_block_amg_elasticity_golden():
+    # VERDICT r1 #7 done-bar: 2-dof/node elasticity converges at
+    # hypre-class iteration counts under nodal/block AMG
+    # (parcsr_block_mv/par_csr_block_interp.c analogue)
+    import jax.numpy as jnp
+
+    from hypre_tpu.amg import BoomerAMG
+    from hypre_tpu.amg.block_amg import BlockAMG
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.problems.laplacian import elasticity_2d
+    from hypre_tpu.seq.bsr import ell_to_bsr
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = elasticity_2d(16, 16)
+    Ab = ell_to_bsr(A, 2)
+    amg = BlockAMG().setup(Ab)
+    assert len(amg.levels) >= 2
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows), A.dtype)
+    op = lambda v: ell_spmv(A, v)
+    x, info = pcg(op, b, M=amg.precond(), rtol=1e-8, maxiter=120)
+    assert bool(info.converged)
+    r = b - op(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+    it_block = int(info.iterations)
+    assert it_block <= 30, f"block AMG iterations {it_block}"
+
+    # nodal structure: both dofs of a node share one CF fate, so the
+    # expanded P's scalar rows of one node reference the same coarse NODES
+    # (the property parcsr_block_mv exists to preserve)
+    pc = np.asarray(amg.levels[0].P_ell.cols)
+    for i in range(0, pc.shape[0], 2):
+        nodes_u = set((pc[i][pc[i] >= 0] // 2).tolist())
+        nodes_v = set((pc[i + 1][pc[i + 1] >= 0] // 2).tolist())
+        assert nodes_u == nodes_v, "node %d dof mixing" % (i // 2)

@@ -175,6 +175,7 @@ def test_ilut_respects_row_cap(lap):
     assert int(jnp.max(u_off_nnz)) <= 3
 
 
+@pytest.mark.slow
 def test_euclid_pcg(lap, base_iters):
     from hypre_tpu.precond import Euclid
 
@@ -274,3 +275,16 @@ def test_ilu_schur_gmres(lap):
     sch = ILUSchurGMRES(nparts=nparts).setup(lap)
     frac = float(jnp.mean((~sch.interior).astype(jnp.float32)))
     assert 0.0 < frac < 0.5
+
+
+def test_euclid_smoke_fast():
+    # fast-tier Euclid coverage: setup + a few iterations on a tiny grid
+    # (the full golden is slow-tier — level-1 pattern growth recompiles the
+    # Chow-Patel scans for a new ELL width)
+    from hypre_tpu.precond import Euclid
+
+    A = laplacian_2d_5pt(10, 10)
+    M = Euclid(level=0).setup(A).precond()
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(lambda v: ell_spmv(A, v), b, M=M, rtol=1e-6, maxiter=60)
+    assert bool(info.converged)
