@@ -598,7 +598,10 @@ def remap_fine_to_coarse(cols: jax.Array, vals: jax.Array, cmap: jax.Array,
 # Orchestrator — hypre_BoomerAMGSetup on device (par_amg_setup.c:28)
 # ---------------------------------------------------------------------------
 
-_LADDER = (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+_LADDER = (
+    4, 6, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, 384, 448, 512, 640,
+)
 
 
 def _bucket(k: int) -> int:
@@ -606,6 +609,14 @@ def _bucket(k: int) -> int:
         if b >= k:
             return b
     return int(k)
+
+
+def _trim(cols, vals, req: int):
+    """Slice a merged slab to the fine bucket of its true width — padded
+    width is what every downstream slab cost scales with, so keeping a
+    3x-padded operator poisons all deeper levels."""
+    w = min(_bucket(max(int(req), 1)), cols.shape[1])
+    return cols[:, :w], vals[:, :w]
 
 
 def _coarse_map(cf: jax.Array):
@@ -795,8 +806,8 @@ def setup_hierarchy_device(
             out_ap = _bucket(int(req))
             apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv, out_ap,
                                     shifts, ap_cap, ch_ap)
-        plan[(lev_id, "ap")] = max(out_ap if ap_cap else _bucket(int(req)),
-                                   _bucket(int(req)))
+        plan[(lev_id, "ap")] = out_ap
+        apc, apv = _trim(apc, apv, int(req) if not ap_cap else ap_cap)
         kAP = apc.shape[1]
 
         # P^T (needed for both the triple product and the hierarchy)
@@ -808,16 +819,18 @@ def setup_hierarchy_device(
         if int(req) > out_t:
             out_t = _bucket(int(req))
             tc, tv, req = _jit_transpose(pc, pv, n_coarse, out_t)
-        plan[(lev_id, "t")] = _bucket(int(req))
+        plan[(lev_id, "t")] = out_t
+        tc, tv = _trim(tc, tv, int(req))
 
         # A_c = P^T (A P)
-        out_ac = plan.get((lev_id, "ac"), _bucket(max(3 * kA, 32)))
+        out_ac = plan.get((lev_id, "ac"), _bucket(max(min(3 * kA, 256), 32)))
         ch_ac = nchunks(n_coarse, tc.shape[1] * kAP)
         acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
         if int(req) > out_ac:
             out_ac = _bucket(int(req))
             acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
-        plan[(lev_id, "ac")] = _bucket(int(req))
+        plan[(lev_id, "ac")] = out_ac
+        acc, acv = _trim(acc, acv, int(req))
 
         dinv, l1inv, lmax = jax.jit(
             _level_vectors, static_argnums=1
@@ -868,24 +881,59 @@ def second_pass_pmis(scols: jax.Array, cf1: jax.Array, n: int,
     cols_c = jnp.maximum(scols, 0)
     s_valid = scols >= 0
 
-    # pre-filter each row's strong slab to its C1 columns, THEN gather those
-    # filtered rows — candidates are C1-only by construction, so no
-    # per-candidate membership gather is needed (and the row gather rides
-    # rolls on stencil levels)
-    s_is_c1 = jnp.where(s_valid, _gather_rows(is_c1, cols_c, shifts), False)
-    sc1 = jnp.where(s_valid & s_is_c1, scols, PAD_COL)
-    nb_cols = _gather_rows(sc1, cols_c, shifts)  # (n, ks, ks)
-    nb_cols = jnp.where(
-        s_valid[:, :, None] & (nb_cols >= 0), nb_cols, PAD_COL
-    ).reshape(n, ks * ks)
-    cand_c1 = jnp.concatenate([sc1, nb_cols], 1)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cand_c1 = jnp.where(cand_c1 == rows, PAD_COL, cand_c1)
-    cand_c1 = jnp.where(is_c1[:, None], cand_c1, PAD_COL)
-    s2cols, _, _ = merge_slab(
-        cand_c1, jnp.zeros_like(cand_c1, dtype=jnp.float32), s2_cap
-    )
-    cf2 = pmis_device(s2cols, n)
+    if shifts is not None:
+        # stencil fast path: the distance-2 offsets are the pairwise sums
+        # of the strength stencil's shifts; edge existence per offset is an
+        # OR over its path decompositions (roll-ANDs, no gathers at all) —
+        # this is what keeps the aggressive second pass at roll speed
+        sh = [int(x) for x in shifts]
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+        def rolled(v, by):
+            r = jnp.roll(v, -by)
+            if by > 0:
+                r = jnp.where(idx < n - by, r, False)
+            elif by < 0:
+                r = jnp.where(idx >= -by, r, False)
+            return r
+
+        off_valid = {}
+        for a, sa in enumerate(sh):
+            va = s_valid[:, a]
+            if sa != 0:
+                off_valid[sa] = off_valid.get(sa, jnp.zeros(n, bool)) | va
+            for b, sb in enumerate(sh):
+                o = sa + sb
+                if o == 0:
+                    continue
+                pab = va & rolled(s_valid[:, b], sa)
+                off_valid[o] = off_valid.get(o, jnp.zeros(n, bool)) | pab
+        s2_shifts = tuple(sorted(off_valid))
+        cols_list, valid_list = [], []
+        for o in s2_shifts:
+            v = off_valid[o] & is_c1 & rolled(is_c1, o)
+            v = v & (idx + o >= 0) & (idx + o < n)
+            cols_list.append(jnp.where(v, idx + o, PAD_COL))
+        s2cols = jnp.stack(cols_list, axis=1)
+        cf2 = pmis_device(s2cols, n, shifts=s2_shifts)
+    else:
+        # pre-filter each row's strong slab to its C1 columns, THEN gather
+        # those filtered rows — candidates are C1-only by construction, so
+        # no per-candidate membership gather is needed
+        s_is_c1 = jnp.where(s_valid, _gather_rows(is_c1, cols_c, None), False)
+        sc1 = jnp.where(s_valid & s_is_c1, scols, PAD_COL)
+        nb_cols = _gather_rows(sc1, cols_c, None)  # (n, ks, ks)
+        nb_cols = jnp.where(
+            s_valid[:, :, None] & (nb_cols >= 0), nb_cols, PAD_COL
+        ).reshape(n, ks * ks)
+        cand_c1 = jnp.concatenate([sc1, nb_cols], 1)
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        cand_c1 = jnp.where(cand_c1 == rows, PAD_COL, cand_c1)
+        cand_c1 = jnp.where(is_c1[:, None], cand_c1, PAD_COL)
+        s2cols, _, _ = merge_slab(
+            cand_c1, jnp.zeros_like(cand_c1, dtype=jnp.float32), s2_cap
+        )
+        cf2 = pmis_device(s2cols, n)
     # isolated C1 points (no strong C1 within distance 2) must stay C —
     # nothing can interpolate them otherwise
     iso_c1 = is_c1 & ~jnp.any(s2cols >= 0, axis=1)

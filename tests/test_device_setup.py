@@ -258,3 +258,19 @@ def test_setup_hierarchy_device_aggressive():
     )
     assert bool(info.converged)
     assert int(info.iterations) <= 20, f"{info}"
+
+
+def test_second_pass_pmis_shift_path_matches_gather_path():
+    from hypre_tpu.amg.device_setup import second_pass_pmis
+
+    A = laplacian_3d_7pt(7, 6, 5)
+    S = strength_mask(A, 0.25)
+    cf1 = pmis(A, S)
+    scols = jnp.where(S, A.cols, PAD_COL)
+    cf_roll = np.asarray(
+        second_pass_pmis(scols, cf1, A.n_rows, s2_cap=32, shifts=A.shifts)
+    )
+    cf_gather = np.asarray(
+        second_pass_pmis(scols, cf1, A.n_rows, s2_cap=64, shifts=None)
+    )
+    np.testing.assert_array_equal(cf_roll, cf_gather)
