@@ -166,3 +166,24 @@ def test_logging_res_history_pcg_gmres_bicgstab():
     h = np.asarray(info.res_history)
     assert h[0] > 0 and int(info.iterations) >= 1
     assert (h[1:int(info.iterations) + 1] > 0).all()
+
+
+def test_cogmres_single_reduction_variant():
+    # real COGMRES (one fused reduction + Pythagorean norm, cogmres.c):
+    # converges like GMRES on the model problem with similar iterations
+    from hypre_tpu.krylov import cogmres, gmres
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = laplacian_2d_5pt(24, 24)
+    b = jnp.ones(A.n_rows, A.dtype)
+    op = lambda v: ell_spmv(A, v)
+    x1, i1 = cogmres(op, b, rtol=1e-8, maxiter=500)
+    x2, i2 = gmres(op, b, rtol=1e-8, maxiter=500)
+    assert bool(i1.converged) and bool(i2.converged)
+    assert abs(int(i1.iterations) - int(i2.iterations)) <= 5
+    r = b - op(x1)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-7
+    # single-pass (true one-reduction) variant also converges
+    x3, i3 = cogmres(op, b, rtol=1e-8, maxiter=500, gs_passes=1)
+    assert bool(i3.converged)
