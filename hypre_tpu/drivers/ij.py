@@ -243,6 +243,9 @@ def run(argv) -> tuple[int, float]:
     else:
         raise SystemExit(f"unsupported solver id {s}\n{SOLVER_HELP}")
 
+    from hypre_tpu.core.error import record_convergence
+
+    record_convergence(info)  # HYPRE_ERROR_CONV semantics (pcg.c)
     iters = int(info.iterations)
     rel = float(info.relative_residual)
     if a["poutdat"] >= 1 and "_amg_cache" in locals() and _amg_cache:

@@ -107,3 +107,35 @@ def test_gsmg_solves_laplacian():
     x, info = pcg(lambda v: ell_spmv(A, v), b, M=gs.precond(), rtol=1e-8, maxiter=60)
     assert bool(info.converged), f"{info}"
     assert int(info.iterations) <= 20
+
+
+def test_error_flag_system():
+    # HYPRE_utilities.h:106-140 surface: bit-coded flags, arg encoding,
+    # describe, clear; CONV recorded from unconverged solves
+    from hypre_tpu.core import error as E
+
+    E.clear_all_errors()
+    assert E.get_error() == 0
+    E.set_error(E.HYPRE_ERROR_GENERIC)
+    E.set_error_arg(E.HYPRE_ERROR_ARG, 3)
+    ierr = E.get_error()
+    assert E.check_error(ierr, E.HYPRE_ERROR_GENERIC)
+    assert E.check_error(ierr, E.HYPRE_ERROR_ARG)
+    assert E.get_error_arg() == 3
+    assert "argument 3" in E.describe_error(ierr)
+    E.clear_all_errors()
+
+    # an unconverged Krylov solve flags CONV without raising
+    import jax.numpy as jnp
+
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = laplacian_2d_5pt(16, 16)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = pcg(lambda v: ell_spmv(A, v), b, rtol=1e-12, maxiter=2)
+    E.record_convergence(info)
+    assert E.check_error(E.get_error(), E.HYPRE_ERROR_CONV)
+    assert "did not converge" in E.describe_error(E.get_error())
+    E.clear_all_errors()
