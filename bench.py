@@ -29,33 +29,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_spmv(A, n_iter=100):
-    """Chained SpMV inside one jitted loop (tunnel-dispatch-noise free)."""
+# v5e HBM bandwidth (public spec ~819 GB/s) — the STREAM roofline the
+# BASELINE.json >=70% target is measured against
+HBM_ROOFLINE_GBPS = 819.0
+
+
+def bench_spmv(A, n_iter=100, n_trials=3):
+    """Chained SpMV inside one jitted loop, honest tunnel protocol: FRESH
+    random input per trial (the tunnel serves identical (program, inputs)
+    dispatches from a response cache) and a scalar readback closing the
+    timing window (block_until_ready does not always await remote
+    completion). The loop multiplies by (1 + 1e-7) per iteration so no two
+    iterations see identical inputs either."""
     import numpy as np
 
     from hypre_tpu.seq.fastmv import optimize_operator
 
     dev = jax.devices()[0]
     Af = jax.device_put(optimize_operator(A), dev)
-    x = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).standard_normal(A.n_cols), A.dtype),
-        dev,
-    )
 
     @jax.jit
     def loop(Af, x):
-        return jax.lax.fori_loop(0, n_iter, lambda i, v: Af.mv(v) * 1e-6, x)
+        def body(i, v):
+            return Af.mv(v) * (1.0 + 1e-7)
 
-    y = loop(Af, x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = loop(Af, x)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / n_iter
+        y = jax.lax.fori_loop(0, n_iter, body, x)
+        return y, jnp.sum(y)
+
+    rng = np.random.default_rng(0)
+    x0 = jax.device_put(
+        jnp.asarray(rng.standard_normal(A.n_cols), A.dtype), dev
+    )
+    _, s = loop(Af, x0)  # compile + warm
+    float(s)
+    dt = float("inf")
+    for t in range(n_trials):
+        xt = jax.device_put(
+            jnp.asarray(rng.standard_normal(A.n_cols), A.dtype), dev
+        )
+        float(jnp.sum(xt))  # ensure resident before the window opens
+        t0 = time.perf_counter()
+        _, s = loop(Af, xt)
+        float(s)  # scalar readback closes the window
+        dt = min(dt, (time.perf_counter() - t0) / n_iter)
     itemsize = jnp.dtype(A.dtype).itemsize
     nnz = int(A.vals.size)
     bytes_moved = nnz * itemsize + (A.n_cols + A.n_rows) * itemsize
-    return Af, dt, bytes_moved / dt / 1e9
+    gbps = bytes_moved / dt / 1e9
+    return Af, dt, gbps, gbps / HBM_ROOFLINE_GBPS
 
 
 def main():
@@ -65,36 +86,63 @@ def main():
     from hypre_tpu.problems.laplacian import laplacian_3d_7pt
     from hypre_tpu.seq.ell import ell_spmv
 
+    import dataclasses
+
+    from hypre_tpu.amg.device_setup import setup_hierarchy_device
+    from hypre_tpu.amg.hierarchy import make_smoother, optimize_hierarchy
+
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     n = 128
     dtype = jnp.float32
 
-    # assemble on host: setup consumes host arrays (hypre's matrix also
-    # starts on the host side of its benchmark)
-    cpu = jax.devices("cpu")[0]
+    # device-side assembly (index arithmetic; par_laplace.c's host row
+    # loops took ~3 s here)
     t0 = time.perf_counter()
-    with jax.default_device(cpu):
-        A = laplacian_3d_7pt(n, n, n, dtype=dtype)
-        jax.block_until_ready(A.vals)
-    log(f"assembly {n}^3 7pt (host): {time.perf_counter()-t0:.3f}s")
+    A = laplacian_3d_7pt(n, n, n, dtype=dtype)
+    jax.block_until_ready(A.vals)
+    log(f"assembly {n}^3 7pt (device): {time.perf_counter()-t0:.3f}s")
 
-    Afast, dt, gbps = bench_spmv(A)
-    log(f"SpMV (DIA path): {dt*1e3:.3f} ms, effective {gbps:.1f} GB/s")
+    Afast, dt, gbps, roofline_frac = bench_spmv(A)
+    log(
+        f"SpMV (DIA path): {dt*1e3:.3f} ms, {gbps:.1f} GB/s "
+        f"({100*roofline_frac:.0f}% of the {HBM_ROOFLINE_GBPS:.0f} GB/s "
+        "HBM roofline)"
+    )
 
-    # --- AMG-PCG setup (native C++ kernels + aggressive coarsening, the
-    # fast-TPU-solve configuration; see hypre benchmark_ij.jobs cases 17+
-    # for hypre's own agg_nl runs) ---
+    # --- AMG-PCG setup, fully on-device (amg/device_setup.py: PMIS +
+    # aggressive distance-2 second pass + multipass interp + slab RAP —
+    # hypre's par_amg_setup.c device path). Warmup runs the identical
+    # pipeline on 2*A: exact power-of-two scaling keeps every comparison
+    # bit-identical (same shapes, same compiled programs, zero retries via
+    # the width plan) while defeating the tunnel's response cache. ---
+    width_plan = {}
+
+    def build(Ax):
+        hier = setup_hierarchy_device(
+            Ax, max_coarse_size=1500, relax="chebyshev", agg_num_levels=1,
+            width_plan=width_plan,
+        )
+        fast = optimize_hierarchy(hier, gather_precision=0)
+        for lev in fast.levels:
+            jax.block_until_ready(lev.dinv)
+        jax.block_until_ready(fast.coarse_inv)
+        return fast
+
+    build(dataclasses.replace(A, vals=A.vals * 2.0))  # compile + warm
     t0 = time.perf_counter()
-    amg = BoomerAMG(agg_num_levels=1, nongalerkin_tol=0.02).setup(A)
-    jax.block_until_ready(amg.hierarchy.coarse_inv)
+    hier_fast = build(A)
+    s_check = float(jnp.sum(hier_fast.coarse_inv[:1, :1]))  # readback
     setup_s = time.perf_counter() - t0
-    log(f"AMG setup: {setup_s:.3f}s")
-    log(amg.stats())
+    log(f"AMG setup (device): {setup_s:.3f}s")
+    log("levels: " + str(
+        [lev.A.n_rows for lev in hier_fast.levels]
+        + [hier_fast.coarse_inv.shape[0]]
+    ))
 
     # --- AMG-PCG solve; hierarchy passed as a jit ARGUMENT (closure capture
     # would bake 100s of MB of constants into the XLA program) ---
     b = jnp.ones(A.n_rows, dtype)
-    smoother = amg._smoother
+    smoother = make_smoother("chebyshev", 1.0, 2, 0.3)
 
     @jax.jit
     def solve(hier, Af, b):
@@ -110,17 +158,17 @@ def main():
     import numpy as np
 
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
-    x, info = solve(amg.hierarchy, Afast, b)  # compile + first run
+    x, info = solve(hier_fast, Afast, b)  # compile + first run
     _ = float(jnp.sum(x))
     solve_s = float("inf")
     for _ in range(3):
         bt = jnp.asarray(rng.random(A.n_rows, np.float32))
         _ = float(jnp.sum(bt))
         t0 = time.perf_counter()
-        x, info = solve(amg.hierarchy, Afast, bt)
+        x, info = solve(hier_fast, Afast, bt)
         _ = float(jnp.sum(x))
         solve_s = min(solve_s, time.perf_counter() - t0)
-    x, info = solve(amg.hierarchy, Afast, b)  # stats reported for b=ones
+    x, info = solve(hier_fast, Afast, b)  # stats reported for b=ones
     r = b - ell_spmv(A, x)
     true_rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
     log(
@@ -144,17 +192,17 @@ def main():
         return pcg(lambda v: Af.mv(v), r, M=M, rtol=3e-4, maxiter=40)
 
     refined = make_device_refiner(inner, passes=3)
-    xh, xl, _ = refined(Afast, amg.hierarchy, b)
+    xh, xl, _ = refined(Afast, hier_fast, b)
     _ = float(jnp.sum(xh))
     refined_s = float("inf")
     for _ in range(3):
         bt = jnp.asarray(rng.random(A.n_rows, np.float32))
         _ = float(jnp.sum(bt))
         t0 = time.perf_counter()
-        xh2, xl2, _ = refined(Afast, amg.hierarchy, bt)
+        xh2, xl2, _ = refined(Afast, hier_fast, bt)
         _ = float(jnp.sum(xh2))
         refined_s = min(refined_s, time.perf_counter() - t0)
-    xh, xl, _ = refined(Afast, amg.hierarchy, b)
+    xh, xl, _ = refined(Afast, hier_fast, b)
     x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
     from hypre_tpu import native as _nat
     from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays as _e2c
@@ -182,6 +230,8 @@ def main():
                 "true_rel_res": true_rel,
                 "refined_solve_seconds": round(refined_s, 4),
                 "refined_true_rel_res": rel_ref,
+                "spmv_gbps": round(gbps, 1),
+                "spmv_roofline_frac": round(roofline_frac, 3),
             }
         )
     )

@@ -40,6 +40,7 @@ class FEISystem:
     """
 
     n_nodes: int = 0
+    field_sizes: tuple = (1,)
     _node_ids: Dict = dataclasses.field(default_factory=dict, repr=False)
     _elems: Dict = dataclasses.field(default_factory=dict, repr=False)
     _bc_rows: List[int] = dataclasses.field(default_factory=list, repr=False)
@@ -51,12 +52,25 @@ class FEISystem:
     # -- FEI 2.x init sequence -------------------------------------------------
 
     def initFields(self, num_fields: int = 1, field_sizes: Sequence[int] = (1,)):
-        """FEI::initFields — scalar fields only; multi-dof-per-node systems
-        should expand node IDs per component (the reference's fieldSize>1
-        offsetting, collapsed here)."""
-        if num_fields != 1 or tuple(field_sizes) != (1,):
-            raise NotImplementedError("one scalar field per node")
+        """FEI::initFields — multiple fields per node supported: each node
+        carries sum(field_sizes) dofs, numbered node-major (the reference's
+        fieldSize offsetting in its equation-number tables)."""
+        if num_fields != len(tuple(field_sizes)):
+            raise ValueError("num_fields != len(field_sizes)")
+        self.field_sizes = tuple(int(f) for f in field_sizes)
         return self
+
+    @property
+    def dofs_per_node(self) -> int:
+        return sum(self.field_sizes)
+
+    @property
+    def n_dofs(self) -> int:
+        return self.n_nodes * self.dofs_per_node
+
+    def _dofs(self, nid) -> list:
+        base = self._node(nid) * self.dofs_per_node
+        return list(range(base, base + self.dofs_per_node))
 
     def _node(self, nid) -> int:
         if nid not in self._node_ids:
@@ -73,32 +87,49 @@ class FEISystem:
 
     def sumInElemMatrix(self, block_id, elem_id, node_ids: Sequence,
                         stiffness) -> "FEISystem":
-        """FEI::sumInElemMatrix — element stiffness (npe x npe)."""
+        """FEI::sumInElemMatrix — element stiffness, (npe*dofs_per_node)
+        square with node-major dof ordering (npe x npe when scalar)."""
         blk = self._elems[block_id]
         if len(node_ids) != blk["npe"]:
             raise ValueError("connectivity length != nodes_per_elem")
-        blk["conn"].append([self._node(n) for n in node_ids])
-        blk["mats"].append(np.asarray(stiffness, float))
+        dofs = []
+        for nid in node_ids:
+            dofs.extend(self._dofs(nid))
+        ke = np.asarray(stiffness, float)
+        if ke.shape != (len(dofs), len(dofs)):
+            raise ValueError(
+                f"stiffness shape {ke.shape} != ({len(dofs)}, {len(dofs)})"
+            )
+        blk["conn"].append(dofs)
+        blk["mats"].append(ke)
         return self
 
     def sumInElemRHS(self, block_id, elem_id, node_ids: Sequence,
                      load) -> "FEISystem":
         blk = self._elems[block_id]
-        blk["rhs"].append(([self._node(n) for n in node_ids],
-                           np.asarray(load, float)))
+        dofs = []
+        for nid in node_ids:
+            dofs.extend(self._dofs(nid))
+        blk["rhs"].append((dofs, np.asarray(load, float)))
         return self
 
     def loadNodeBCs(self, node_ids: Sequence, values: Sequence) -> "FEISystem":
         """Essential (Dirichlet) BCs: row replaced by identity, rhs pinned
-        (the reference's BC enforcement in loadComplete)."""
+        (the reference's BC enforcement in loadComplete). A scalar value
+        pins every dof of the node; a sequence pins per dof."""
         for nid, v in zip(node_ids, values):
-            self._bc_rows.append(self._node(nid))
-            self._bc_vals.append(float(v))
+            dofs = self._dofs(nid)
+            vv = [float(v)] * len(dofs) if np.ndim(v) == 0 else [
+                float(t) for t in v
+            ]
+            for d, t in zip(dofs, vv):
+                self._bc_rows.append(d)
+                self._bc_vals.append(t)
         return self
 
     def loadComplete(self) -> "FEISystem":
         """Assemble the global system through the IJ layer."""
-        n = self.n_nodes
+        n = self.n_dofs
         ij = IJMatrix(n, n)
         rhs = np.zeros(n)
         bc = dict(zip(self._bc_rows, self._bc_vals))

@@ -114,10 +114,26 @@ class DiaMatrix:
 def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
     """Exact DIA decomposition, or None if A has too many distinct offsets.
 
-    Host-side analysis (setup phase). Square row/col index spaces only.
+    Square row/col index spaces only. When the matrix carries a ``shifts``
+    annotation (stencil generators / the device setup), the decomposition
+    is pure device-side slot arithmetic — no host pull of the index slab
+    (device_put of 2M-row cols measured at 25-900 MB/s on this tunnel).
     """
     if A.n_rows != A.n_cols:
         return None  # DIA is for square (level-operator) matrices
+    if A.shifts is not None and len(set(A.shifts)) <= max_offsets:
+        offs = sorted(set(int(s) for s in A.shifts))
+        n = A.n_rows
+        rows = jnp.arange(n, dtype=A.cols.dtype)[:, None]
+        planes = []
+        for o in offs:
+            m = (A.cols >= 0) & (A.cols - rows == o)
+            planes.append(jnp.sum(jnp.where(m, A.vals, 0), axis=1))
+        return DiaMatrix(
+            dvals=jnp.stack(planes),
+            offsets=tuple(offs),
+            n_cols=A.n_cols,
+        )
     cols = np.asarray(A.cols)
     vals = np.asarray(A.vals)
     n, k = cols.shape

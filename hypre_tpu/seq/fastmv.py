@@ -285,24 +285,6 @@ def banded_spmv(A: BandedEll, x: jax.Array) -> jax.Array:
     return y[: A.n_rows]
 
 
-def _window_schedule(cols: np.ndarray, B: int):
-    """Per-B-row-block window starts/size. Returns (lo, W) or None."""
-    n, k = cols.shape
-    n_pad = -(-n // B) * B
-    if n_pad != n:
-        cols = np.vstack([cols, np.full((n_pad - n, k), -1, np.int32)])
-    valid = cols >= 0
-    big = np.iinfo(np.int32).max
-    blk_min = np.where(valid, cols, big).reshape(n_pad // B, -1).min(axis=1)
-    blk_max = np.where(valid, cols, -1).reshape(n_pad // B, -1).max(axis=1)
-    empty = blk_max < 0
-    blk_min = np.where(empty, 0, blk_min)
-    blk_max = np.where(empty, 0, blk_max)
-    lo = (blk_min // ALIGN) * ALIGN
-    W = int(-(-int((blk_max - lo + 1).max()) // ALIGN) * ALIGN)
-    return lo, W
-
-
 def try_banded(
     A: EllMatrix,
     block: int | None = None,
@@ -312,37 +294,58 @@ def try_banded(
     """Build the window schedule, or None if every candidate block size
     leaves some window above ``max_window`` (matrix not banded enough).
 
-    The one-hot gather costs n*k*W(B)*2 flops, so the analysis picks the
-    block size B minimizing W(B) — wide-ratio operators (restrictions Pt,
-    whose rows span many columns) want small blocks, square operators
-    tolerate large ones. Host-side, setup phase.
+    The one-hot gather costs n*k*W(B)*2 flops. The analysis and the
+    slot-major payload construction run device-side (jnp): only the
+    per-block min/max vectors — n/B elements — come back to host to pick
+    W and the aligned starts (the full cols slab would cost seconds at
+    this tunnel's 25-900 MB/s transfer rate).
     """
     if A.dtype != np.dtype(np.float32):
         return None
-    cols = np.asarray(A.cols)
-    vals = np.asarray(A.vals)
-    n, k = cols.shape
+    n, k = A.cols.shape
     # XLA's 1-D layout tiling forces output blocks of >=1024 elements, so
     # B is fixed; wide-ratio operators just get wider windows (the scatter
     # formulation for restrictions is the planned upgrade)
     B = block or 1024
-    lo, W = _window_schedule(cols, B)
+    n_pad = -(-n // B) * B
+    cols = A.cols
+    vals = A.vals
+    if n_pad != n:
+        cols = jnp.concatenate(
+            [cols, jnp.full((n_pad - n, k), -1, jnp.int32)]
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((n_pad - n, k), vals.dtype)]
+        )
+    valid = cols >= 0
+    big = jnp.int32(np.iinfo(np.int32).max)
+    blk_min_d = jnp.min(
+        jnp.where(valid, cols, big).reshape(n_pad // B, -1), axis=1
+    )
+    blk_max_d = jnp.max(
+        jnp.where(valid, cols, -1).reshape(n_pad // B, -1), axis=1
+    )
+    blk_min = np.asarray(blk_min_d)  # (n/B,) — the only host pulls
+    blk_max = np.asarray(blk_max_d)
+    empty = blk_max < 0
+    blk_min = np.where(empty, 0, blk_min)
+    blk_max = np.where(empty, 0, blk_max)
+    lo = (blk_min // ALIGN) * ALIGN
+    W = int(-(-int((blk_max - lo + 1).max()) // ALIGN) * ALIGN)
     if W > max_window:
         return None
-    n_pad = -(-n // B) * B
-    if n_pad != n:
-        cols = np.vstack([cols, np.full((n_pad - n, k), -1, np.int32)])
-        vals = np.vstack([vals, np.zeros((n_pad - n, k), vals.dtype)])
-    valid = cols >= 0
     n_xpad = int(max(lo.max() + W, -(-A.n_cols // ALIGN) * ALIGN))
+    lo_d = jnp.asarray(lo.astype(np.int32))
     # padded slots point at window slot 0; their values are 0, so the
     # gathered garbage contributes nothing
-    lcols = np.where(valid, cols - np.repeat(lo, B)[:, None], 0).astype(np.int32)
+    lcols = jnp.where(
+        valid, cols - jnp.repeat(lo_d, B)[:, None], 0
+    ).astype(jnp.int32)
     return BandedEll(
         ell=A,
-        vals_t=jnp.asarray(np.ascontiguousarray(vals.T)),
-        lcols_t=jnp.asarray(np.ascontiguousarray(lcols.T)),
-        starts=jnp.asarray(lo.astype(np.int32)),
+        vals_t=jnp.asarray(vals.T),
+        lcols_t=jnp.asarray(lcols.T),
+        starts=lo_d,
         W=W,
         B=B,
         n_xpad=n_xpad,

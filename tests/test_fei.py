@@ -71,3 +71,41 @@ def test_fei_matches_hand_assembly():
                 if not (np.isclose(Ad[i, i], 1.0) and np.abs(Ad[i]).sum() == 1.0)]
     i = interior[len(interior) // 2]
     np.testing.assert_allclose(Ad[i, i], 8 / 3, rtol=1e-12)
+
+
+def test_fei_multifield_vector_poisson():
+    # FEI multi-field (fieldSize > 1): a 2-component vector Poisson problem
+    # assembled per-node with 2 dofs; the system equals the scalar system
+    # kron I2, and the nodal block structure survives assembly (the
+    # reference's multi-field FEI, FEI_HYPRE_Impl.cxx equation tables)
+    ke = np.array([
+        [ 2/3, -1/6, -1/3, -1/6],
+        [-1/6,  2/3, -1/6, -1/3],
+        [-1/3, -1/6,  2/3, -1/6],
+        [-1/6, -1/3, -1/6,  2/3],
+    ])
+    ke2 = np.kron(ke, np.eye(2))  # node-major (u,v) interleave
+    n = 6
+    fei = FEISystem().initFields(2, (1, 1))
+    assert fei.dofs_per_node == 2
+    fei.initElemBlock("v", n * n, 4)
+    fe2 = np.zeros(8)
+    fe2[0::2] = 0.25 / (n * n)  # load only on field 0
+    for i in range(n):
+        for j in range(n):
+            conn = [(i, j), (i + 1, j), (i + 1, j + 1), (i, j + 1)]
+            fei.sumInElemMatrix("v", (i, j), conn, ke2)
+            fei.sumInElemRHS("v", (i, j), conn, fe2)
+    bnd = [(i, j) for i in range(n + 1) for j in range(n + 1)
+           if i in (0, n) or j in (0, n)]
+    fei.loadNodeBCs(bnd, [0.0] * len(bnd))
+    fei.loadComplete()
+    assert fei.n_dofs == 2 * (n + 1) ** 2
+    x, info = fei.parameters(["solver cg", "preconditioner diagonal"]).solve(
+        rtol=1e-10
+    )
+    assert bool(info.converged)
+    xs = np.asarray(x)
+    # field 1 has zero load and zero BCs -> identically zero; field 0 > 0
+    np.testing.assert_allclose(xs[1::2], 0.0, atol=1e-9)
+    assert xs[0::2].max() > 0
