@@ -246,3 +246,60 @@ def test_maxwell_two_part_grid():
     b = jnp.ones(A.n_rows, A.dtype)
     x, info = mx.solve(b, rtol=1e-8, maxiter=300)
     assert bool(info.converged)
+
+
+def test_sstruct_fem_addfemvalues_two_parts():
+    # HYPRE_SStructMatrixAddFEMValues semantics (HYPRE_sstruct_matrix.c:361)
+    # + shared-node identification across parts: two Q1-meshed parts glued
+    # along an edge assemble to the same system as one combined mesh
+    import numpy as np
+
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.seq.ell import ell_spmv
+    from hypre_tpu.sstruct.fem import SStructFEMGrid, SStructFEMMatrix
+
+    ke = np.array([
+        [ 2/3, -1/6, -1/3, -1/6],
+        [-1/6,  2/3, -1/6, -1/3],
+        [-1/3, -1/6,  2/3, -1/6],
+        [-1/6, -1/3, -1/6,  2/3],
+    ])
+    n = 6  # elements per part (parts stacked left-right: combined 2n x n)
+    grid = SStructFEMGrid([(n + 1, n + 1), (n + 1, n + 1)])
+    for p in (0, 1):
+        grid.set_fem_ordering(
+            p, [0, 0, 0, 0], [(0, 0), (1, 0), (1, 1), (0, 1)]
+        )
+    # part 1's left node column is part 0's right column
+    for j in range(n + 1):
+        grid.share_node(1, (0, j), 0, (n, j))
+
+    M = SStructFEMMatrix(grid)
+    fe = np.full(4, 0.25 / (2 * n * n))
+    for p in (0, 1):
+        for i in range(n):
+            for j in range(n):
+                M.add_fem_values(p, (i, j), ke)
+                M.add_fem_rhs(p, (i, j), fe)
+    # Dirichlet on the combined outer boundary
+    bnd = set()
+    for j in range(n + 1):
+        bnd.add(grid.dof(0, (0, j), 0))
+        bnd.add(grid.dof(1, (n, j), 0))
+    for p in (0, 1):
+        for i in range(n + 1):
+            bnd.add(grid.dof(p, (i, 0), 0))
+            bnd.add(grid.dof(p, (i, n), 0))
+    M.assemble(dirichlet=sorted(bnd))
+    assert grid.n_dofs == (2 * n + 1) * (n + 1)
+
+    x, info = pcg(
+        lambda v: ell_spmv(M.A, v), M.b,
+        M=lambda r: r / M.A.diagonal(), rtol=1e-10,
+    )
+    assert bool(info.converged)
+    xs = np.asarray(x)
+    assert xs.max() > 0 and xs.min() >= -1e-10
+    # the shared column carries the interface solution (interior > 0)
+    mid = grid.dof(0, (n, n // 2), 0)
+    assert xs[mid] > 0
