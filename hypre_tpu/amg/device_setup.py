@@ -702,6 +702,28 @@ def _jit_nnz(cols):
     return jnp.sum(cols >= 0)
 
 
+@partial(jax.jit, static_argnames=("need_cheby",))
+def _jit_level_vectors(vals, cols, need_cheby):
+    """Per-level smoother vectors. The Chebyshev bound uses Gershgorin on
+    D^{-1}A (lmax <= max_i sum_j |a_ij| / |a_ii|) — row-local, no power
+    method: the reference's iterative eigenvalue estimators
+    (par_relax_more.c) cost ~10 matvecs per level, which on the
+    still-unoptimized ELL operators dominated setup wall time here. The
+    slightly conservative bound costs at most an extra smoothing
+    iteration (hypre's own estimate is inflated by 1.1 anyway)."""
+    n = vals.shape[0]
+    rows = jnp.arange(n, dtype=cols.dtype)[:, None]
+    diag = jnp.sum(jnp.where(cols == rows, vals, 0), axis=1)
+    l1 = jnp.sum(jnp.abs(vals), axis=1)
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    l1inv = 1.0 / jnp.where(l1 > 0, l1, 1.0)
+    if need_cheby:
+        lmax = jnp.max(l1 * jnp.abs(dinv))
+    else:
+        lmax = jnp.asarray(0.0, vals.dtype)
+    return dinv, l1inv, lmax
+
+
 def setup_hierarchy_device(
     A: EllMatrix,
     strength_threshold: float = 0.25,
@@ -832,9 +854,9 @@ def setup_hierarchy_device(
         plan[(lev_id, "ac")] = out_ac
         acc, acv = _trim(acc, acv, int(req))
 
-        dinv, l1inv, lmax = jax.jit(
-            _level_vectors, static_argnums=1
-        )(A_cur, need_cheby)
+        dinv, l1inv, lmax = _jit_level_vectors(
+            A_cur.vals, A_cur.cols, need_cheby
+        )
         Pt = EllMatrix(vals=tv, cols=tc, n_cols=n)
         levels.append(
             Level(A=A_cur, P=P, Pt=Pt, dinv=dinv, l1inv=l1inv, lmax=lmax)

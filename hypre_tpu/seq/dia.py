@@ -78,6 +78,13 @@ class DiaMatrix:
     def mv(self, x: jax.Array) -> jax.Array:
         if x.shape[0] != self.n_cols:
             raise ValueError(f"shape mismatch: {self.shape} @ {x.shape}")
+        if (
+            x.dtype == jnp.float32
+            and x.ndim == 1
+            and jax.default_backend() == "tpu"
+            and self.n_rows >= 4096
+        ):
+            return dia_spmv_pallas(self, x)
         y = None
         for d, o in enumerate(self.offsets):
             term = self.dvals[d] * _shift1d(x, o)
@@ -151,3 +158,107 @@ def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
         offsets=tuple(int(o) for o in offs),
         n_cols=A.n_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas DIA SpMV — the roofline kernel (csr_spmv_device.c's role on TPU)
+# ---------------------------------------------------------------------------
+
+import functools
+
+ALIGN = 1024  # HBM 1-D tiling alignment for dynamic-slice starts
+
+
+def _dia_kernel(D, W, B, nb, offs_rel, x_hbm, v_ref, y_ref, xw0, xw1, sx):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+
+    def x_dma(buf, slot, blk):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(blk * B, ALIGN), W)], buf,
+            sx.at[slot],
+        )
+
+    # TPU grid steps run sequentially and scratch persists: step i waits
+    # the window DMA started at step i-1 and prefetches window i+1 — the
+    # x stream overlaps the (auto-pipelined) dvals stream and compute.
+    # Two named buffers sidestep Mosaic's dim-0 slice tiling constraint.
+    @pl.when(i == 0)
+    def _():
+        x_dma(xw0, 0, 0).start()
+
+    @pl.when((i + 1 < nb) & ((i + 1) % 2 == 0))
+    def _():
+        x_dma(xw0, 0, i + 1).start()
+
+    @pl.when((i + 1 < nb) & ((i + 1) % 2 == 1))
+    def _():
+        x_dma(xw1, 1, i + 1).start()
+
+    def compute(buf):
+        acc = v_ref[0, :] * buf[pl.ds(offs_rel[0], B)]
+        for d in range(1, D):
+            acc = acc + v_ref[d, :] * buf[pl.ds(offs_rel[d], B)]
+        y_ref[:] = acc
+
+    @pl.when(i % 2 == 0)
+    def _():
+        x_dma(xw0, 0, i).wait()
+        compute(xw0)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        x_dma(xw1, 1, i).wait()
+        compute(xw1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _dia_pallas_call(D, W, B, n_pad, offs_rel, xpad, dvals_pad):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = n_pad // B
+    f = pl.pallas_call(
+        functools.partial(_dia_kernel, D, W, B, nb, offs_rel),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x, windowed manually
+            pl.BlockSpec((D, B), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((B,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((W,), jnp.float32),
+            pltpu.VMEM((W,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return f(xpad, dvals_pad)
+
+
+def dia_spmv_pallas(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x in one HBM pass: per 32k-row block, DMA the x window once
+    and accumulate every diagonal as a static in-window slice — pure VPU
+    work at streaming bandwidth (the jnp shift-and-add formulation
+    measured ~7x off the roofline from rematerialized shifted copies)."""
+    n = A.n_rows
+    offs = A.offsets
+    D = len(offs)
+    B = 32768 if n >= 32768 else max(1024, 1 << (n - 1).bit_length())
+    n_pad = -(-n // B) * B
+    min_o, max_o = min(offs + (0,)), max(offs + (0,))
+    lead = -(-(-min_o) // ALIGN) * ALIGN  # aligned left padding >= -min_o
+    W = -(-(B + max_o + lead) // ALIGN) * ALIGN
+    offs_rel = tuple(int(o + lead) for o in offs)
+    xpad = jnp.zeros(lead + n_pad + (W - B), x.dtype).at[
+        lead : lead + n
+    ].set(x)
+    dvals_pad = (
+        A.dvals
+        if n_pad == n
+        else jnp.pad(A.dvals, ((0, 0), (0, n_pad - n)))
+    )
+    y = _dia_pallas_call(D, W, B, n_pad, offs_rel, xpad, dvals_pad)
+    return y[:n]
