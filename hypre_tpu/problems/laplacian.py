@@ -16,6 +16,9 @@ matrix SPD for the Laplacian cases.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -44,27 +47,49 @@ def stencil_to_ell(grid_shape, offsets, coeffs, dtype=None) -> EllMatrix:
         [int(np.prod(grid_shape[d + 1 :])) for d in range(ndim)], dtype=np.int64
     )
     shifts = tuple(int(v) for v in (offsets * strides).sum(axis=1))
-
-    rows = jnp.arange(n, dtype=jnp.int32)
-    coords = [
-        (rows // int(strides[d])) % grid_shape[d] for d in range(ndim)
-    ]
-    cols_list, vals_list = [], []
-    for s in range(k):
-        inside = jnp.ones(n, bool)
-        for d in range(ndim):
-            c = coords[d] + int(offsets[s][d])
-            inside = inside & (c >= 0) & (c < grid_shape[d])
-        cols_list.append(jnp.where(inside, rows + shifts[s], PAD_COL))
-        vals_list.append(
-            jnp.where(inside, jnp.asarray(float(coeffs[s]), dtype), 0)
-        )
-    return EllMatrix(
-        vals=jnp.stack(vals_list, axis=1),
-        cols=jnp.stack(cols_list, axis=1).astype(jnp.int32),
-        n_cols=n,
-        shifts=shifts,
+    vals, cols = _stencil_slabs(
+        grid_shape,
+        tuple(tuple(int(v) for v in o) for o in offsets),
+        tuple(float(c) for c in np.asarray(coeffs, dtype)),
+        shifts,
+        jnp.dtype(dtype).name,
     )
+    return EllMatrix(vals=vals, cols=cols, n_cols=n, shifts=shifts)
+
+
+@functools.lru_cache(maxsize=64)
+def _stencil_builder(grid_shape, offsets, coeffs, shifts, dtype_name):
+    ndim = len(grid_shape)
+    n = int(np.prod(grid_shape))
+    strides = [int(np.prod(grid_shape[d + 1 :])) for d in range(ndim)]
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def build():
+        rows = jnp.arange(n, dtype=jnp.int32)
+        coords = [(rows // strides[d]) % grid_shape[d] for d in range(ndim)]
+        cols_list, vals_list = [], []
+        for s in range(len(offsets)):
+            inside = jnp.ones(n, bool)
+            for d in range(ndim):
+                c = coords[d] + offsets[s][d]
+                inside = inside & (c >= 0) & (c < grid_shape[d])
+            cols_list.append(jnp.where(inside, rows + shifts[s], PAD_COL))
+            vals_list.append(
+                jnp.where(inside, jnp.asarray(coeffs[s], dtype), 0)
+            )
+        return (
+            jnp.stack(vals_list, axis=1),
+            jnp.stack(cols_list, axis=1).astype(jnp.int32),
+        )
+
+    return build
+
+
+def _stencil_slabs(grid_shape, offsets, coeffs, shifts, dtype_name):
+    # ONE jitted dispatch: unjitted op-by-op assembly paid this tunnel's
+    # ~20 ms per-dispatch overhead dozens of times (~45 s at 128^3)
+    return _stencil_builder(grid_shape, offsets, coeffs, shifts, dtype_name)()
 
 
 def laplacian_2d_5pt(nx: int, ny: int, dtype=None) -> EllMatrix:

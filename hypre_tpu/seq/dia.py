@@ -118,6 +118,20 @@ class DiaMatrix:
         return jnp.zeros_like(x) if y is None else y
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("offs",))
+def _dia_planes(vals, cols, offs):
+    n = vals.shape[0]
+    rows = jnp.arange(n, dtype=cols.dtype)[:, None]
+    planes = []
+    for o in offs:
+        m = (cols >= 0) & (cols - rows == o)
+        planes.append(jnp.sum(jnp.where(m, vals, 0), axis=1))
+    return jnp.stack(planes)
+
+
 def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
     """Exact DIA decomposition, or None if A has too many distinct offsets.
 
@@ -129,16 +143,10 @@ def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
     if A.n_rows != A.n_cols:
         return None  # DIA is for square (level-operator) matrices
     if A.shifts is not None and len(set(A.shifts)) <= max_offsets:
-        offs = sorted(set(int(s) for s in A.shifts))
-        n = A.n_rows
-        rows = jnp.arange(n, dtype=A.cols.dtype)[:, None]
-        planes = []
-        for o in offs:
-            m = (A.cols >= 0) & (A.cols - rows == o)
-            planes.append(jnp.sum(jnp.where(m, A.vals, 0), axis=1))
+        offs = tuple(sorted(set(int(s) for s in A.shifts)))
         return DiaMatrix(
-            dvals=jnp.stack(planes),
-            offsets=tuple(offs),
+            dvals=_dia_planes(A.vals, A.cols, offs),
+            offsets=offs,
             n_cols=A.n_cols,
         )
     cols = np.asarray(A.cols)

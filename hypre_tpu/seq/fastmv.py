@@ -308,23 +308,7 @@ def try_banded(
     # formulation for restrictions is the planned upgrade)
     B = block or 1024
     n_pad = -(-n // B) * B
-    cols = A.cols
-    vals = A.vals
-    if n_pad != n:
-        cols = jnp.concatenate(
-            [cols, jnp.full((n_pad - n, k), -1, jnp.int32)]
-        )
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((n_pad - n, k), vals.dtype)]
-        )
-    valid = cols >= 0
-    big = jnp.int32(np.iinfo(np.int32).max)
-    blk_min_d = jnp.min(
-        jnp.where(valid, cols, big).reshape(n_pad // B, -1), axis=1
-    )
-    blk_max_d = jnp.max(
-        jnp.where(valid, cols, -1).reshape(n_pad // B, -1), axis=1
-    )
+    blk_min_d, blk_max_d = _banded_minmax(A.vals, A.cols, B, n_pad)
     blk_min = np.asarray(blk_min_d)  # (n/B,) — the only host pulls
     blk_max = np.asarray(blk_max_d)
     empty = blk_max < 0
@@ -336,15 +320,11 @@ def try_banded(
         return None
     n_xpad = int(max(lo.max() + W, -(-A.n_cols // ALIGN) * ALIGN))
     lo_d = jnp.asarray(lo.astype(np.int32))
-    # padded slots point at window slot 0; their values are 0, so the
-    # gathered garbage contributes nothing
-    lcols = jnp.where(
-        valid, cols - jnp.repeat(lo_d, B)[:, None], 0
-    ).astype(jnp.int32)
+    vals_t, lcols_t = _banded_payload(A.vals, A.cols, lo_d, B, n_pad)
     return BandedEll(
         ell=A,
-        vals_t=jnp.asarray(vals.T),
-        lcols_t=jnp.asarray(lcols.T),
+        vals_t=vals_t,
+        lcols_t=lcols_t,
         starts=lo_d,
         W=W,
         B=B,
@@ -353,6 +333,37 @@ def try_banded(
         n_rows_s=A.n_rows,
         n_cols_s=A.n_cols,
     )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _banded_minmax(vals, cols, B, n_pad):
+    n, k = cols.shape
+    if n_pad != n:
+        cols = jnp.concatenate([cols, jnp.full((n_pad - n, k), -1, jnp.int32)])
+    valid = cols >= 0
+    big = jnp.int32(np.iinfo(np.int32).max)
+    return (
+        jnp.min(jnp.where(valid, cols, big).reshape(n_pad // B, -1), axis=1),
+        jnp.max(jnp.where(valid, cols, -1).reshape(n_pad // B, -1), axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _banded_payload(vals, cols, lo_d, B, n_pad):
+    """Slot-major window-relative payload, one fused dispatch (op-by-op
+    construction paid the tunnel's per-dispatch overhead ~10x per
+    operator)."""
+    n, k = cols.shape
+    if n_pad != n:
+        cols = jnp.concatenate([cols, jnp.full((n_pad - n, k), -1, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((n_pad - n, k), vals.dtype)])
+    valid = cols >= 0
+    # padded slots point at window slot 0; their values are 0, so the
+    # gathered garbage contributes nothing
+    lcols = jnp.where(
+        valid, cols - jnp.repeat(lo_d, B)[:, None], 0
+    ).astype(jnp.int32)
+    return vals.T, lcols.T
 
 
 # below this many gathered elements the XLA take-gather costs < ~2 ms and
