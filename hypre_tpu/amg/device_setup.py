@@ -697,9 +697,30 @@ def _jit_spgemm(a_cols, a_vals, b_cols, b_vals, out_k, chunks=1):
     return spgemm_slab(a_cols, a_vals, b_cols, b_vals, out_k, chunks=chunks)
 
 
+@partial(jax.jit, static_argnames=("tol",))
+def _jit_drop_lump(cols, vals, tol):
+    from hypre_tpu.seq.slabops import compact_mask_slab
+
+    n, k = cols.shape
+    rows = jnp.arange(n, dtype=cols.dtype)[:, None]
+    is_diag = cols == rows
+    diag = jnp.sum(jnp.where(is_diag, vals, 0), axis=1)
+    dj = jnp.where(cols >= 0, jnp.abs(diag)[jnp.maximum(cols, 0)], 1.0)
+    thresh = tol * jnp.sqrt(jnp.abs(diag)[:, None] * dj)
+    keep = is_diag | ((cols >= 0) & (jnp.abs(vals) >= thresh))
+    lump = jnp.sum(jnp.where((cols >= 0) & ~keep, vals, 0), axis=1)
+    vals = jnp.where(is_diag, vals + lump[:, None] * is_diag, vals)
+    return compact_mask_slab(cols, vals, keep, k)
+
+
 @jax.jit
 def _jit_nnz(cols):
     return jnp.sum(cols >= 0)
+
+
+@jax.jit
+def _jit_rowmax(cols):
+    return jnp.max(jnp.sum((cols >= 0).astype(jnp.int32), axis=1))
 
 
 @partial(jax.jit, static_argnames=("need_cheby",))
@@ -738,6 +759,7 @@ def setup_hierarchy_device(
     symmetric: bool = True,
     agg_num_levels: int = 0,
     width_plan: dict | None = None,
+    coarse_drop_tol: float = 0.0,
 ):
     """Device-resident BoomerAMG setup: PMIS + ext+i + Galerkin RAP, all on
     the accelerator (hypre's par_amg_setup.c device path). Returns the same
@@ -853,6 +875,14 @@ def setup_hierarchy_device(
             acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
         plan[(lev_id, "ac")] = out_ac
         acc, acv = _trim(acc, acv, int(req))
+        if coarse_drop_tol > 0:
+            # non-Galerkin sparsification (par_nongalerkin.c): drop
+            # |a_ij| < tol*sqrt(a_ii a_jj) — a SYMMETRIC criterion, so the
+            # coarse operator stays symmetric for PCG — and lump the
+            # dropped mass onto the diagonal (row sums preserved). Thins
+            # every deeper level's slabs AND the solve-phase kernels.
+            acc, acv = _jit_drop_lump(acc, acv, float(coarse_drop_tol))
+            acc, acv = _trim(acc, acv, int(_jit_rowmax(acc)))
 
         dinv, l1inv, lmax = _jit_level_vectors(
             A_cur.vals, A_cur.cols, need_cheby

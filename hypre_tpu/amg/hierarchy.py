@@ -332,8 +332,12 @@ def optimize_hierarchy(
         # the gathered values) is benign inside the V-cycle preconditioner;
         # the outer Krylov drives the true residual with exact operators.
         # Raise via gather_precision for parity/debug runs.
-        A = optimize_operator(lev.A, prefer_pallas, exact=gather_precision)
-        P = optimize_operator(lev.P, prefer_pallas, exact=gather_precision)
+        A = optimize_operator(
+            lev.A, prefer_pallas, exact=gather_precision, dia_detect="shifts"
+        )
+        P = optimize_operator(
+            lev.P, prefer_pallas, exact=gather_precision, dia_detect="shifts"
+        )
         if isinstance(P, BandedEll) and hier.galerkin:
             # restriction runs through P's scatter transpose; Pt and the
             # duplicate ELL payloads would only burn transfer bandwidth
@@ -341,7 +345,10 @@ def optimize_hierarchy(
             Pt = None
         else:
             # non-Galerkin (AIR): Pt holds R and must survive
-            Pt = optimize_operator(lev.Pt, prefer_pallas, exact=gather_precision)
+            Pt = optimize_operator(
+                lev.Pt, prefer_pallas, exact=gather_precision,
+                dia_detect="shifts",
+            )
         if isinstance(A, BandedEll):
             A = A.drop_ell()
         if isinstance(Pt, BandedEll):

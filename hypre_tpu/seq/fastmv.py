@@ -373,15 +373,25 @@ MIN_BANDED_ELEMENTS = 262144
 
 
 def optimize_operator(
-    A: EllMatrix, prefer_pallas: bool | None = None, exact: int = 1
+    A: EllMatrix, prefer_pallas: bool | None = None, exact: int = 1,
+    dia_detect: str = "auto",
 ):
     """Pick the fastest SpMV representation for this matrix on this backend
     (the role of hypre's SetSpGemmUseVendor/exec-policy knobs, collapsed
     into one analysis). exact<2 allows bf16 gather rounding — fine for
-    V-cycle internals on large operators, skipped below the size floor."""
+    V-cycle internals on large operators, skipped below the size floor.
+
+    dia_detect: 'auto' probes for diagonal structure even without a shifts
+    annotation (pulls the index slab to host — seconds through this
+    tunnel); 'shifts' trusts only the annotation (what optimize_hierarchy
+    uses: AMG coarse operators are never DIA, so the probe is pure cost).
+    """
     from hypre_tpu.seq.dia import try_dia
 
-    dia = try_dia(A)
+    if dia_detect == "shifts" and A.shifts is None:
+        dia = None
+    else:
+        dia = try_dia(A)
     if dia is not None:
         return dia
     if A.n_rows * A.k < MIN_BANDED_ELEMENTS:
