@@ -135,6 +135,7 @@ def main():
         hier = setup_hierarchy_device(
             Ax, max_coarse_size=1500, relax="chebyshev", agg_num_levels=1,
             width_plan=width_plan, coarse_drop_tol=0.02,
+            transfer_dia=True,
         )
         fast = optimize_hierarchy(hier, gather_precision=0)
         for lev in fast.levels:

@@ -718,6 +718,14 @@ def _jit_nnz(cols):
     return jnp.sum(cols >= 0)
 
 
+@partial(jax.jit, static_argnames=("n_c",))
+def _jit_c2f(cf, n_c):
+    """Fine rows of the C points, in coarse order (compact of is_c)."""
+    n = cf.shape[0]
+    key = jnp.where(cf == C_PT, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**30))
+    return jnp.sort(key)[:n_c]
+
+
 @jax.jit
 def _jit_rowmax(cols):
     return jnp.max(jnp.sum((cols >= 0).astype(jnp.int32), axis=1))
@@ -760,6 +768,7 @@ def setup_hierarchy_device(
     agg_num_levels: int = 0,
     width_plan: dict | None = None,
     coarse_drop_tol: float = 0.0,
+    transfer_dia: bool = False,
 ):
     """Device-resident BoomerAMG setup: PMIS + ext+i + Galerkin RAP, all on
     the accelerator (hypre's par_amg_setup.c device path). Returns the same
@@ -887,9 +896,20 @@ def setup_hierarchy_device(
         dinv, l1inv, lmax = _jit_level_vectors(
             A_cur.vals, A_cur.cols, need_cheby
         )
-        Pt = EllMatrix(vals=tv, cols=tc, n_cols=n)
+        P_store, Pt_store = P, EllMatrix(vals=tv, cols=tc, n_cols=n)
+        if transfer_dia and shifts is not None:
+            # stencil level: store the interpolation as fine-space
+            # diagonals so solve-phase transfers ride the roofline DIA
+            # kernel (seq/transfer_dia.py)
+            from hypre_tpu.seq.transfer_dia import try_transfer_dia
+
+            c2f = _jit_c2f(cf, n_coarse)
+            T = try_transfer_dia(P, c2f)
+            if T is not None:
+                P_store, Pt_store = T, None
         levels.append(
-            Level(A=A_cur, P=P, Pt=Pt, dinv=dinv, l1inv=l1inv, lmax=lmax)
+            Level(A=A_cur, P=P_store, Pt=Pt_store, dinv=dinv, l1inv=l1inv,
+                  lmax=lmax)
         )
         A_cur = EllMatrix(vals=acv, cols=acc, n_cols=n_coarse)
         shifts = None  # coarse operators are unstructured

@@ -276,11 +276,15 @@ def amg_cycle(
 
     def restrict(lev: Level, r: jax.Array) -> jax.Array:
         # Pt=None marks a Galerkin level whose restriction runs through P's
-        # scatter-formulated transpose (windows in the small coarse space —
-        # much cheaper than gathering through Pt's wide fine-space windows);
-        # AIR levels keep their explicit R in Pt (seq/fastmv.py)
+        # own transpose path: fine-space diagonals for stencil-level
+        # interpolation (seq/transfer_dia.py) or the scatter-formulated
+        # BandedEll transpose (windows in the small coarse space); AIR
+        # levels keep their explicit R in Pt (seq/fastmv.py)
         from hypre_tpu.seq.fastmv import BandedEll, banded_spmv_t
+        from hypre_tpu.seq.transfer_dia import TransferDia
 
+        if isinstance(lev.P, TransferDia):
+            return lev.P.mv_t(r)
         if lev.Pt is None:
             return banded_spmv_t(lev.P, r)
         if isinstance(lev.P, BandedEll) and hier.galerkin:
@@ -324,6 +328,7 @@ def optimize_hierarchy(
     representation (DIA shifts or the windowed Pallas gather, seq/fastmv.py).
     Run after setup, before the solve phase — the TPU analogue of hypre
     choosing device kernels at exec-policy time."""
+    from hypre_tpu.seq.dia import DiaMatrix
     from hypre_tpu.seq.fastmv import BandedEll
 
     new_levels = []
@@ -335,6 +340,13 @@ def optimize_hierarchy(
         A = optimize_operator(
             lev.A, prefer_pallas, exact=gather_precision, dia_detect="shifts"
         )
+        from hypre_tpu.seq.transfer_dia import TransferDia
+
+        if isinstance(lev.P, TransferDia):
+            # already converted by the device setup (fine-space diagonal
+            # transfers on stencil levels) — pass through
+            new_levels.append(dataclasses.replace(lev, A=A, Pt=None))
+            continue
         P = optimize_operator(
             lev.P, prefer_pallas, exact=gather_precision, dia_detect="shifts"
         )

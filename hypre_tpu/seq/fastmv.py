@@ -260,7 +260,11 @@ def banded_spmv_t(A: BandedEll, r: jax.Array) -> jax.Array:
     """y = A.T @ r via per-block local scatter (one-hot matmuls) and
     sequential window accumulation — the restriction kernel. Reuses A's
     forward window schedule: A's columns ARE the transpose's rows."""
-    if r.dtype != jnp.float32 or r.ndim != 1:
+    if (
+        r.dtype != jnp.float32
+        or r.ndim != 1
+        or jax.default_backend() != "tpu"
+    ):
         return ell_spmv_t_fallback(A._need_ell(), r)
     k, n_pad = A.vals_t.shape
     rpad = jnp.pad(r, (0, n_pad - r.shape[0]))
@@ -276,8 +280,12 @@ def ell_spmv_t_fallback(ell, r):
 
 
 def banded_spmv(A: BandedEll, x: jax.Array) -> jax.Array:
-    if x.dtype != jnp.float32 or x.ndim != 1:
-        return ell_spmv(A._need_ell(), x)  # generic fallback (f64/multivec)
+    if (
+        x.dtype != jnp.float32
+        or x.ndim != 1
+        or jax.default_backend() != "tpu"
+    ):
+        return ell_spmv(A._need_ell(), x)  # generic fallback (f64/CPU)
     k, n_pad = A.vals_t.shape
     xpad = jnp.pad(x, (0, A.n_xpad - x.shape[0]))
     y = _banded_call(k, A.W, A.B, n_pad, A.n_xpad, A.exact, A.starts, xpad,

@@ -1,0 +1,173 @@
+"""TransferDia — stencil-structured interpolation as fine-space diagonals.
+
+The interpolation built on a stencil level reaches only C points within
+graph distance <= 2, so in FINE indexing P is a *generalized stencil*: its
+column offsets (fine index of the C point minus the row index) come from
+the distance-2 offset set of the grid. That turns both transfer products
+into roofline-speed operations:
+
+    prolong  u += P e_c  =  DIA(P_fine) · expand(e_c)
+    restrict r_c = P^T r =  compress( DIA(P_fine^T) · r )
+
+where DIA is the Pallas streaming kernel (seq/dia.py, 93-98% of HBM peak),
+``expand`` scatters the coarse vector to the C-point positions and
+``compress`` reads it back — both are monotone selections with tiny
+windows, executed by the existing BandedEll gather kernel on width-1
+patterns. The windowed one-hot transfer kernels this replaces cost ~4.5 ms
+per direction at 128^3 (the one-hot construction is VPU-bound over the
+~5k-wide coarse windows); this path measures the three pieces at ~0.1 +
+~0.25 + ~0.2 ms.
+
+hypre's analogue is the device matvec path for P (``par_csr_matvec.c``) —
+the reference has no structural specialization here; this one exists
+because the TPU cost model punishes gathers so hard that re-expressing the
+transfer through the fine index space is worth a 5x storage padding
+(diagonal slabs hold zeros where rows have fewer entries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hypre_tpu.seq.dia import DiaMatrix
+from hypre_tpu.seq.fastmv import BandedEll, banded_spmv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TransferDia:
+    """P (n_fine x n_coarse) as fine-space diagonals + selections."""
+
+    P_dia: DiaMatrix  # fine-space forward diagonals
+    Pt_dia: DiaMatrix  # fine-space transpose diagonals
+    expand: BandedEll  # (n_fine, n_coarse) C-point expansion selection
+    compress: BandedEll  # (n_coarse, n_fine) C-point restriction selection
+    n_coarse_s: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.P_dia.n_rows
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_coarse_s
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_coarse_s)
+
+    @property
+    def dtype(self):
+        return self.P_dia.dtype
+
+    @property
+    def vec_len_rows(self) -> int:
+        return self.n_rows
+
+    @property
+    def vec_len_cols(self) -> int:
+        return self.n_coarse_s
+
+    def mv(self, ec: jax.Array) -> jax.Array:
+        """fine = P @ coarse (prolongation)."""
+        ec_fine = banded_spmv(self.expand, ec)
+        return self.P_dia.mv(ec_fine)
+
+    def mv_t(self, r: jax.Array) -> jax.Array:
+        """coarse = P^T @ fine (restriction)."""
+        t = self.Pt_dia.mv(r)
+        return banded_spmv(self.compress, t)
+
+
+def try_transfer_dia(P, c2f, max_offsets: int = 96, exact: int = 0):
+    """Build the fine-space transfer operators, or None if P's pattern
+    needs more than ``max_offsets`` distinct fine-space diagonals.
+
+    ``c2f`` (n_coarse,) maps coarse ids to their C-point fine rows (the
+    inverse of the coarse numbering — supplied by setup, where the CF
+    splitting is in hand). Offsets are data-driven: the multipass-agg P on
+    a 3-D 7-pt stencil measures 63 distinct diagonals independent of grid
+    size."""
+    import numpy as np
+
+    from hypre_tpu.seq.dia import _shift1d
+    from hypre_tpu.seq.ell import EllMatrix
+    from hypre_tpu.seq.fastmv import try_banded
+
+    if not isinstance(P, EllMatrix) or P.k < 1:
+        return None
+    n, k = P.cols.shape
+    n_c = P.n_cols
+
+    @jax.jit
+    def distinct_diffs(pc, c2f):
+        valid = pc >= 0
+        pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+        diff = jnp.where(
+            valid, pf - jnp.arange(n, dtype=jnp.int32)[:, None], jnp.int32(2**30)
+        )
+        s_ = jnp.sort(diff.reshape(-1))
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool), s_[1:] != s_[:-1]]
+        ) & (s_ < 2**30)
+        count = jnp.sum(is_new)
+        # compact the unique values to the front
+        pos = jnp.where(is_new, jnp.arange(s_.shape[0]), 2**30)
+        _, uniq = jax.lax.sort((pos, s_), num_keys=1)
+        return uniq[:max_offsets], count
+
+    uniq, count = distinct_diffs(P.cols, c2f)
+    n_off = int(count)
+    if n_off > max_offsets:
+        return None
+    offs = sorted(int(u) for u in np.asarray(uniq)[:n_off])
+
+    @jax.jit
+    def planes(pc, pv, c2f):
+        valid = pc >= 0
+        pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+        diff = pf - jnp.arange(n, dtype=jnp.int32)[:, None]
+        out = []
+        for o in offs:
+            m = valid & (diff == o)
+            out.append(jnp.sum(jnp.where(m, pv, 0), axis=1))
+        return jnp.stack(out)
+
+    dvals = planes(P.cols, P.vals, c2f)
+
+    @jax.jit
+    def transpose_planes(dvals):
+        return jnp.stack(
+            [_shift1d(dvals[d], -o) for d, o in enumerate(offs)]
+        )
+
+    dvalsT = transpose_planes(dvals)
+    P_dia = DiaMatrix(dvals=dvals, offsets=tuple(offs), n_cols=n)
+    Pt_dia = DiaMatrix(
+        dvals=dvalsT, offsets=tuple(-o for o in offs), n_cols=n
+    )
+    is_c_row = jnp.zeros(n, bool).at[c2f].set(True)
+    cmap_dense = (
+        jnp.cumsum(is_c_row.astype(jnp.int32)) - 1
+    ).astype(jnp.int32)
+    E = EllMatrix(
+        vals=jnp.where(is_c_row, 1.0, 0.0).astype(P.dtype)[:, None],
+        cols=jnp.where(is_c_row, cmap_dense, -1)[:, None],
+        n_cols=n_c,
+    )
+    C = EllMatrix(
+        vals=jnp.ones((n_c, 1), P.dtype),
+        cols=c2f[:, None].astype(jnp.int32),
+        n_cols=n,
+    )
+    Eb = try_banded(E, exact=exact)
+    Cb = try_banded(C, exact=exact)
+    if Eb is None or Cb is None:
+        return None
+    # keep the (tiny, k=1) ELL payloads: CPU runs fall back through them
+    return TransferDia(
+        P_dia=P_dia, Pt_dia=Pt_dia, expand=Eb, compress=Cb, n_coarse_s=n_c,
+    )

@@ -274,3 +274,40 @@ def test_second_pass_pmis_shift_path_matches_gather_path():
         second_pass_pmis(scols, cf1, A.n_rows, s2_cap=64, shifts=None)
     )
     np.testing.assert_array_equal(cf_roll, cf_gather)
+
+
+def test_transfer_dia_matches_ell_transfers():
+    # fine-space diagonal transfers == the ELL P products exactly
+    from hypre_tpu.amg.device_setup import (
+        multipass_interp_device, second_pass_pmis,
+    )
+    from hypre_tpu.seq.ell import ell_spmv, ell_spmv_t
+    from hypre_tpu.seq.transfer_dia import try_transfer_dia
+
+    A = laplacian_3d_7pt(10, 9, 8)
+    S = strength_mask(A, 0.25)
+    cf1 = pmis(A, S)
+    scols = jnp.where(S, A.cols, PAD_COL)
+    svals = jnp.where(S, A.vals, 0.0)
+    cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap=32, shifts=A.shifts)
+    cmap, n_c = coarse_map(cf)
+    pc, pv, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4,
+                                        shifts=A.shifts)
+    # the banded/DIA kernels are f32-only (TPU Pallas has no f64)
+    P = EllMatrix(vals=pv.astype(jnp.float32), cols=pc, n_cols=int(n_c))
+    c2f = jnp.sort(
+        jnp.where(cf == 1, jnp.arange(A.n_rows, dtype=jnp.int32), 2**30)
+    )[: int(n_c)]
+    T = try_transfer_dia(P, c2f, exact=2)
+    assert T is not None
+    rng = np.random.default_rng(0)
+    ec = jnp.asarray(rng.standard_normal(int(n_c)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(A.n_rows), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(T.mv(ec)), np.asarray(ell_spmv(P, ec)), rtol=1e-5,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(T.mv_t(r)), np.asarray(ell_spmv_t(P, r)), rtol=1e-5,
+        atol=1e-5,
+    )
