@@ -254,7 +254,11 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array) -> jax.Array:
     n = A.n_rows
     offs = A.offsets
     D = len(offs)
-    B = 32768 if n >= 32768 else max(1024, 1 << (n - 1).bit_length())
+    # VMEM budget: the auto-pipelined dvals block costs 2*D*B*4 bytes and
+    # the two x windows 2*W*4; size B so many-diagonal operators (the
+    # fine-space transfer matrices carry ~63) stay under the 16 MB limit
+    b_cap = max(4096, min(32768, (10_000_000 // (max(D, 1) * 8)) // 1024 * 1024))
+    B = b_cap if n >= b_cap else max(1024, 1 << (n - 1).bit_length())
     n_pad = -(-n // B) * B
     min_o, max_o = min(offs + (0,)), max(offs + (0,))
     lead = -(-(-min_o) // ALIGN) * ALIGN  # aligned left padding >= -min_o
