@@ -293,13 +293,18 @@ def amg_cycle(
 
     def descend(level: int, f: jax.Array, u: jax.Array, ctype: int) -> jax.Array:
         if level == len(hier.levels):
-            return hier.coarse_inv @ f
+            with jax.named_scope("mg_coarse_solve"):
+                return hier.coarse_inv @ f
         lev = hier.levels[level]
-        for _ in range(num_sweeps):
-            u = smoother(lev, u, f)
-        r = f - lev.A.mv(u)
-        rc = restrict(lev, r)
-        ec = jnp.zeros(lev.P.vec_len_cols, f.dtype)
+        # per-MG-level trace annotation (HYPRE_ANNOTATE_MGLEVEL_BEGIN,
+        # utilities/caliper_instrumentation.h:35-56) — shows up as named
+        # regions in jax.profiler/Xprof traces
+        with jax.named_scope(f"mg_level_{level}"):
+            for _ in range(num_sweeps):
+                u = smoother(lev, u, f)
+            r = f - lev.A.mv(u)
+            rc = restrict(lev, r)
+            ec = jnp.zeros(lev.P.vec_len_cols, f.dtype)
         last = level >= len(hier.levels) - 1
         if ctype == 3 and not last:
             # F-cycle: one recursive F-visit, then a V-visit (FMG recursion)
@@ -309,9 +314,10 @@ def amg_cycle(
             visits = 1 if (last or ctype == 3) else max(ctype, 1)
             for _ in range(visits):
                 ec = descend(level + 1, rc, ec, ctype if ctype != 3 else 1)
-        u = u + lev.P.mv(ec)
-        for _ in range(num_sweeps):
-            u = smoother(lev, u, f)
+        with jax.named_scope(f"mg_level_{level}_up"):
+            u = u + lev.P.mv(ec)
+            for _ in range(num_sweeps):
+                u = smoother(lev, u, f)
         return u
 
     if u is None:

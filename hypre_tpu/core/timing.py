@@ -67,3 +67,27 @@ def annotate(name: str) -> Iterator[None]:
     """Region annotation visible in XProf traces (HYPRE_ANNOTATE_* analogue)."""
     with jax.named_scope(name), jax.profiler.TraceAnnotation(name):
         yield
+
+
+def device_memory_report() -> str:
+    """Live device-buffer accounting (the role of hypre's
+    --enable-memory-tracker ledger, utilities/memory.h:139-161, translated
+    to the JAX world: arrays are garbage-collected, so the failure mode is
+    retention, not leaks — this reports what is currently held)."""
+    import collections
+
+    import jax
+
+    by_kind: dict = collections.defaultdict(lambda: [0, 0])
+    total = 0
+    for buf in jax.live_arrays():
+        nbytes = buf.size * buf.dtype.itemsize
+        key = (str(buf.dtype), getattr(buf, "shape", ()))
+        by_kind[key][0] += 1
+        by_kind[key][1] += nbytes
+        total += nbytes
+    lines = [f"live device arrays: {total / 1e6:.1f} MB total"]
+    top = sorted(by_kind.items(), key=lambda kv: -kv[1][1])[:15]
+    for (dt, shape), (cnt, nb) in top:
+        lines.append(f"  {cnt:4d} x {dt}{list(shape)}: {nb / 1e6:.1f} MB")
+    return "\n".join(lines)
