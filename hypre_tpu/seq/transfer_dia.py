@@ -82,6 +82,47 @@ class TransferDia:
         return banded_spmv(self.compress, t)
 
 
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("max_offsets",))
+def _distinct_diffs(pc, c2f, max_offsets):
+    n = pc.shape[0]
+    valid = pc >= 0
+    pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+    diff = jnp.where(
+        valid, pf - jnp.arange(n, dtype=jnp.int32)[:, None], jnp.int32(2**30)
+    )
+    s_ = jnp.sort(diff.reshape(-1))
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), s_[1:] != s_[:-1]]
+    ) & (s_ < 2**30)
+    count = jnp.sum(is_new)
+    pos = jnp.where(is_new, jnp.arange(s_.shape[0]), 2**30)
+    _, uniq = jax.lax.sort((pos, s_), num_keys=1)
+    return uniq[:max_offsets], count
+
+
+@_ft.partial(jax.jit, static_argnames=("offs",))
+def _transfer_planes(pc, pv, c2f, offs):
+    n = pc.shape[0]
+    valid = pc >= 0
+    pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+    diff = pf - jnp.arange(n, dtype=jnp.int32)[:, None]
+    out = []
+    for o in offs:
+        m = valid & (diff == o)
+        out.append(jnp.sum(jnp.where(m, pv, 0), axis=1))
+    return jnp.stack(out)
+
+
+@_ft.partial(jax.jit, static_argnames=("offs",))
+def _transpose_planes(dvals, offs):
+    from hypre_tpu.seq.dia import _shift1d
+
+    return jnp.stack([_shift1d(dvals[d], -o) for d, o in enumerate(offs)])
+
+
 def try_transfer_dia(P, c2f, max_offsets: int = 96, exact: int = 0):
     """Build the fine-space transfer operators, or None if P's pattern
     needs more than ``max_offsets`` distinct fine-space diagonals.
@@ -90,10 +131,12 @@ def try_transfer_dia(P, c2f, max_offsets: int = 96, exact: int = 0):
     inverse of the coarse numbering — supplied by setup, where the CF
     splitting is in hand). Offsets are data-driven: the multipass-agg P on
     a 3-D 7-pt stencil measures 63 distinct diagonals independent of grid
-    size."""
+    size. All device programs are module-level jits keyed on the static
+    offset tuple, so repeat setups with the same sparsity recompile
+    nothing.
+    """
     import numpy as np
 
-    from hypre_tpu.seq.dia import _shift1d
     from hypre_tpu.seq.ell import EllMatrix
     from hypre_tpu.seq.fastmv import try_banded
 
@@ -102,50 +145,15 @@ def try_transfer_dia(P, c2f, max_offsets: int = 96, exact: int = 0):
     n, k = P.cols.shape
     n_c = P.n_cols
 
-    @jax.jit
-    def distinct_diffs(pc, c2f):
-        valid = pc >= 0
-        pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
-        diff = jnp.where(
-            valid, pf - jnp.arange(n, dtype=jnp.int32)[:, None], jnp.int32(2**30)
-        )
-        s_ = jnp.sort(diff.reshape(-1))
-        is_new = jnp.concatenate(
-            [jnp.ones((1,), bool), s_[1:] != s_[:-1]]
-        ) & (s_ < 2**30)
-        count = jnp.sum(is_new)
-        # compact the unique values to the front
-        pos = jnp.where(is_new, jnp.arange(s_.shape[0]), 2**30)
-        _, uniq = jax.lax.sort((pos, s_), num_keys=1)
-        return uniq[:max_offsets], count
-
-    uniq, count = distinct_diffs(P.cols, c2f)
+    uniq, count = _distinct_diffs(P.cols, c2f, max_offsets)
     n_off = int(count)
     if n_off > max_offsets:
         return None
-    offs = sorted(int(u) for u in np.asarray(uniq)[:n_off])
+    offs = tuple(sorted(int(u) for u in np.asarray(uniq)[:n_off]))
 
-    @jax.jit
-    def planes(pc, pv, c2f):
-        valid = pc >= 0
-        pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
-        diff = pf - jnp.arange(n, dtype=jnp.int32)[:, None]
-        out = []
-        for o in offs:
-            m = valid & (diff == o)
-            out.append(jnp.sum(jnp.where(m, pv, 0), axis=1))
-        return jnp.stack(out)
-
-    dvals = planes(P.cols, P.vals, c2f)
-
-    @jax.jit
-    def transpose_planes(dvals):
-        return jnp.stack(
-            [_shift1d(dvals[d], -o) for d, o in enumerate(offs)]
-        )
-
-    dvalsT = transpose_planes(dvals)
-    P_dia = DiaMatrix(dvals=dvals, offsets=tuple(offs), n_cols=n)
+    dvals = _transfer_planes(P.cols, P.vals, c2f, offs)
+    dvalsT = _transpose_planes(dvals, offs)
+    P_dia = DiaMatrix(dvals=dvals, offsets=offs, n_cols=n)
     Pt_dia = DiaMatrix(
         dvals=dvalsT, offsets=tuple(-o for o in offs), n_cols=n
     )
