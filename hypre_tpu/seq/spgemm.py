@@ -24,6 +24,10 @@ from hypre_tpu.seq.ell import EllMatrix
 
 _BIG = jnp.int32(2**30)  # sort key for padding; larger than any column index
 
+# NOTE: the jit wrappers live at module level (bottom of file) — creating
+# jax.jit(fn) per call makes a fresh wrapper each time, so every invocation
+# re-traced; that was a dominant cost of the compile-heavy test tier
+
 
 def _merge_rows(cols: jax.Array, vals: jax.Array, out_k: int):
     """Merge duplicate columns within each row of a candidate slab.
@@ -80,10 +84,10 @@ def ell_spgemm(A: EllMatrix, B: EllMatrix, out_k: int | None = None) -> EllMatri
     """
     if out_k is None:
         out_k = min(A.k * B.k, max(A.k, B.k) * 4)
-    C, required_k = jax.jit(ell_spgemm_raw, static_argnums=2)(A, B, out_k)
+    C, required_k = _spgemm_jit(A, B, out_k)
     required_k = int(required_k)
     if required_k > out_k:
-        C, _ = jax.jit(ell_spgemm_raw, static_argnums=2)(A, B, required_k)
+        C, _ = _spgemm_jit(A, B, required_k)
     elif required_k < out_k:
         # uniques are left-aligned by the merge; shrink to the true width
         k = max(required_k, 1)
@@ -138,10 +142,10 @@ def ell_transpose(A: EllMatrix, out_k: int | None = None) -> EllMatrix:
     if out_k is None:
         # average row fill of A.T, padded up; retried below if insufficient
         out_k = max(2 * A.k, 4)
-    T, required_k = jax.jit(ell_transpose_raw, static_argnums=1)(A, out_k)
+    T, required_k = _transpose_jit(A, out_k)
     required_k = int(required_k)
     if required_k > out_k:
-        T, _ = jax.jit(ell_transpose_raw, static_argnums=1)(A, required_k)
+        T, _ = _transpose_jit(A, required_k)
     elif required_k < out_k:
         # slots are filled left-to-right per column segment; shrink
         k = max(required_k, 1)
@@ -160,7 +164,7 @@ def ell_add_raw(alpha, A: EllMatrix, beta, B: EllMatrix, out_k: int):
 def ell_add(alpha, A: EllMatrix, beta, B: EllMatrix, out_k: int | None = None) -> EllMatrix:
     if out_k is None:
         out_k = A.k + B.k
-    C, _ = jax.jit(ell_add_raw, static_argnums=4)(alpha, A, beta, B, out_k)
+    C, _ = _add_jit(alpha, A, beta, B, out_k)
     return C
 
 
@@ -187,3 +191,8 @@ def ell_remap_cols(A: EllMatrix, col_map: jax.Array, new_n_cols: int) -> EllMatr
     vals = jnp.where(new_cols >= 0, A.vals, 0)
     new_cols = jnp.where(new_cols >= 0, new_cols, PAD_COL)
     return EllMatrix(vals=vals, cols=new_cols.astype(jnp.int32), n_cols=new_n_cols)
+
+
+_spgemm_jit = jax.jit(ell_spgemm_raw, static_argnums=2)
+_transpose_jit = jax.jit(ell_transpose_raw, static_argnums=1)
+_add_jit = jax.jit(ell_add_raw, static_argnums=4)
