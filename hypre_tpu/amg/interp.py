@@ -183,7 +183,7 @@ def ext_plus_i_interp(
     if out_k is None:
         out_k = min(max(4 * k, 8), 64)
 
-    block_fn = jax.jit(_ext_pi_block, static_argnums=(6, 7, 8))
+    block_fn = _EXT_PI_BLOCK_JIT
 
     def run(out_k: int):
         if n <= row_block:
@@ -330,7 +330,7 @@ def classical_interp(
     if out_k is None:
         out_k = min(max(2 * k, 8), 64)
 
-    block_fn = jax.jit(_classical_block, static_argnums=(5, 6, 7))
+    block_fn = _CLASSICAL_BLOCK_JIT
 
     def run(out_k: int):
         if n <= row_block:
@@ -505,3 +505,8 @@ def multipass_interp(
         cols=jnp.asarray(pc, jnp.int32),
         n_cols=int(n_coarse),
     )
+
+
+# module-level jit wrappers (per-call jax.jit re-traces every setup)
+_EXT_PI_BLOCK_JIT = jax.jit(_ext_pi_block, static_argnums=(6, 7, 8))
+_CLASSICAL_BLOCK_JIT = jax.jit(_classical_block, static_argnums=(5, 6, 7))
