@@ -55,6 +55,12 @@ class BoomerAMG:
     relax_weight: float = 1.0
     num_sweeps: int = 1
     cycle_type: int = 1  # 1=V, 2=W, 3=F
+    # additive cycling from this level down (-1 = off). Maps
+    # HYPRE_BoomerAMGSetAdditive / SetMultAdditive / SetSimple
+    # (par_amg_solve.c:250-258 -> par_add_cycle.c); variant is
+    # 'additive' | 'mult' | 'simple'
+    additive: int = -1
+    additive_variant: str = "additive"
     setup_backend: str = "auto"  # 'native' (csrc/) | 'jax' | 'auto'
     # aggressive coarsening on the first N levels (hypre agg_num_levels,
     # par_amg_setup.c:1193): two coarsening passes composed through P1*P2
@@ -149,6 +155,16 @@ class BoomerAMG:
 
     def cycle(self, f: jax.Array, u: Optional[jax.Array] = None) -> jax.Array:
         assert self.hierarchy is not None, "call setup(A) first"
+        if self.additive >= 0:
+            from hypre_tpu.amg.hierarchy import amg_additive_cycle
+
+            return amg_additive_cycle(
+                self.hierarchy, f, u,
+                smoother=self._smoother,
+                num_sweeps=self.num_sweeps,
+                add_start=self.additive,
+                variant=self.additive_variant,
+            )
         return amg_cycle(
             self.hierarchy, f, u,
             smoother=self._smoother,

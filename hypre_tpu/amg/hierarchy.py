@@ -259,6 +259,24 @@ def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio
     raise ValueError(f"unknown relax type: {relax!r}")
 
 
+def _restrict_level(hier: AMGHierarchy, lev: Level, r: jax.Array) -> jax.Array:
+    # Pt=None marks a Galerkin level whose restriction runs through P's
+    # own transpose path: fine-space diagonals for stencil-level
+    # interpolation (seq/transfer_dia.py) or the scatter-formulated
+    # BandedEll transpose (windows in the small coarse space); AIR
+    # levels keep their explicit R in Pt (seq/fastmv.py)
+    from hypre_tpu.seq.fastmv import BandedEll, banded_spmv_t
+    from hypre_tpu.seq.transfer_dia import TransferDia
+
+    if isinstance(lev.P, TransferDia):
+        return lev.P.mv_t(r)
+    if lev.Pt is None:
+        return banded_spmv_t(lev.P, r)
+    if isinstance(lev.P, BandedEll) and hier.galerkin:
+        return banded_spmv_t(lev.P, r)
+    return lev.Pt.mv(r)
+
+
 def amg_cycle(
     hier: AMGHierarchy,
     f: jax.Array,
@@ -275,21 +293,7 @@ def amg_cycle(
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
 
     def restrict(lev: Level, r: jax.Array) -> jax.Array:
-        # Pt=None marks a Galerkin level whose restriction runs through P's
-        # own transpose path: fine-space diagonals for stencil-level
-        # interpolation (seq/transfer_dia.py) or the scatter-formulated
-        # BandedEll transpose (windows in the small coarse space); AIR
-        # levels keep their explicit R in Pt (seq/fastmv.py)
-        from hypre_tpu.seq.fastmv import BandedEll, banded_spmv_t
-        from hypre_tpu.seq.transfer_dia import TransferDia
-
-        if isinstance(lev.P, TransferDia):
-            return lev.P.mv_t(r)
-        if lev.Pt is None:
-            return banded_spmv_t(lev.P, r)
-        if isinstance(lev.P, BandedEll) and hier.galerkin:
-            return banded_spmv_t(lev.P, r)
-        return lev.Pt.mv(r)
+        return _restrict_level(hier, lev, r)
 
     def descend(level: int, f: jax.Array, u: jax.Array, ctype: int) -> jax.Array:
         if level == len(hier.levels):
@@ -323,6 +327,96 @@ def amg_cycle(
     if u is None:
         u = jnp.zeros_like(f)
     return descend(0, f, u, cycle_type)
+
+
+def amg_additive_cycle(
+    hier: AMGHierarchy,
+    f: jax.Array,
+    u: Optional[jax.Array] = None,
+    smoother: Optional[Callable] = None,
+    num_sweeps: int = 1,
+    add_start: int = 0,
+    variant: str = "additive",
+) -> jax.Array:
+    """Additive / mult-additive / simple-additive cycle
+    (hypre_BoomerAMGAdditiveCycle, par_add_cycle.c; selected at
+    par_amg_solve.c:250-258 by HYPRE_BoomerAMGSetAdditive /
+    SetMultAdditive / SetSimple, each taking the level the additive
+    part starts at).
+
+    Levels above ``add_start`` run the standard multiplicative V
+    recursion; from ``add_start`` down the cycle is additive: the
+    residual cascades through the restrictions untouched and every
+    level contributes an independent smoother correction, summed
+    through the prolongations —
+
+        B_add = sum_l  (P_0 ... P_{l-1})  S_l  (P_0 ... P_{l-1})^T
+
+    With a symmetric smoother (l1-Jacobi — hypre forces relax type
+    8/18 here too) B_add is SPD, so the additive cycle is PCG-safe.
+    All level smoothers are independent — XLA can overlap them, and in
+    the distributed path one downward residual cascade is the only
+    communication (the same motivation as hypre's).
+
+    variant: 'additive' = ``smoother`` sweeps from zero per level;
+    'simple' = single D^{-1} (plain diagonal) scaling
+    (hypre_BoomerAMGSetSimple); 'mult' = mult-additive — the level
+    correction is post-smoothed against the level residual on the way
+    up (hypre folds this smoothing into P; the resulting operator
+    matches a single-sweep multiplicative pass below add_start, which
+    is exactly hypre's documented equivalence).
+    """
+    smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    if u is None:
+        u = jnp.zeros_like(f)
+    n_lev = len(hier.levels)
+    add_start = max(0, min(add_start, n_lev))
+
+    # multiplicative down-sweep above the additive region
+    stack = []  # (level, f_l, u_l) for levels 0..add_start-1
+    f_l, u_l = f, u
+    for level in range(add_start):
+        lev = hier.levels[level]
+        with jax.named_scope(f"mg_level_{level}"):
+            for _ in range(num_sweeps):
+                u_l = smoother(lev, u_l, f_l)
+            r = f_l - lev.A.mv(u_l)
+            stack.append((lev, f_l, u_l))
+            f_l = _restrict_level(hier, lev, r)
+            u_l = jnp.zeros(lev.P.vec_len_cols, f.dtype)
+
+    # additive core: cascade the residual down, correct every level
+    # independently, sum corrections up through P
+    core = hier.levels[add_start:]
+    if core:
+        r_cur = f_l - core[0].A.mv(u_l)
+        r_list = []
+        for lev in core:
+            r_list.append(r_cur)
+            r_cur = _restrict_level(hier, lev, r_cur)
+        acc = hier.coarse_inv @ r_cur
+        for lev, r_l in zip(reversed(core), reversed(r_list)):
+            if variant == "simple":
+                e = lev.dinv * r_l
+            else:
+                e = jnp.zeros_like(r_l)
+                for _ in range(num_sweeps):
+                    e = smoother(lev, e, r_l)
+            e = e + lev.P.mv(acc)
+            if variant == "mult":
+                for _ in range(num_sweeps):
+                    e = smoother(lev, e, r_l)
+            acc = e
+        u_l = u_l + acc
+    else:
+        u_l = hier.coarse_inv @ f_l
+
+    # multiplicative up-sweep
+    for lev, f_prev, u_prev in reversed(stack):
+        u_l = u_prev + lev.P.mv(u_l)
+        for _ in range(num_sweeps):
+            u_l = smoother(lev, u_l, f_prev)
+    return u_l
 
 
 def optimize_hierarchy(

@@ -313,3 +313,26 @@ def test_block_amg_elasticity_golden():
         nodes_u = set((pc[i][pc[i] >= 0] // 2).tolist())
         nodes_v = set((pc[i + 1][pc[i + 1] >= 0] // 2).tolist())
         assert nodes_u == nodes_v, "node %d dof mixing" % (i // 2)
+
+
+@pytest.mark.parametrize("variant", ["additive", "mult", "simple"])
+def test_additive_cycles_pcg(variant):
+    # par_add_cycle.c: additive variants keep an SPD preconditioner with a
+    # symmetric smoother, so AMG-PCG still converges (slower than
+    # multiplicative is expected and accepted for 'additive'/'simple')
+    A = laplacian_2d_5pt(32, 32)
+    it = _amg_pcg_iters(
+        A, additive=0, additive_variant=variant, relax="l1-jacobi"
+    )
+    assert it <= 40, f"{variant}: {it} iterations"
+
+
+def test_mult_additive_from_level_matches_v_cycle_class():
+    # additive from level 1 = multiplicative top level; convergence should
+    # sit between the pure-additive and pure-multiplicative counts
+    A = laplacian_2d_5pt(32, 32)
+    it_add = _amg_pcg_iters(A, additive=0, relax="l1-jacobi")
+    it_mixed = _amg_pcg_iters(A, additive=1, relax="l1-jacobi")
+    it_mult = _amg_pcg_iters(A, relax="l1-jacobi")
+    assert it_mult <= it_mixed + 1
+    assert it_mixed <= it_add + 1
