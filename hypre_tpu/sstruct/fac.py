@@ -1,24 +1,27 @@
 """FAC — fast adaptive composite multigrid for AMR grids.
 
 Analogue of hypre's FAC (``sstruct_ls/fac*.c``): a composite grid made of a
-global coarse level plus refined patches, solved by cycling between
-*patch-local* relaxation and a coarse-grid correction on the full domain.
+global coarse level plus refined patches (arbitrarily nested), solved by
+cycling between *patch-local* relaxation and coarse-grid corrections on the
+successively-derefined composite grids.
 
 The TPU formulation keeps FAC algebraic: the composite operator (assembled
-through the IJ interface or the helper below) lives on the composite DOF set
-{fine cells inside patches} ∪ {coarse cells outside}; the coarse level is a
-Galerkin RAP through piecewise-constant AMR transfers (fine-patch cells
-average onto their parent coarse cell, outside cells inject), so the
-two-level hierarchy is consistent by construction — hypre assembles the same
-structure geometrically (``fac_amr_rap.c``). Relaxation is Jacobi masked to
-the fine-patch DOFs (hypre relaxes patch levels only, ``fac_relax.c``), and
-the coarse system is solved by BoomerAMG.
+through the IJ interface or the helpers below) lives on the composite DOF
+set {cells at their local refinement depth}; each hierarchy level derefines
+the deepest patch by its refinement factor through piecewise-constant AMR
+transfers (fine-patch cells average onto their parent cell, other cells
+inject), so every level's operator is a Galerkin RAP and the hierarchy is
+consistent by construction — hypre assembles the same structure
+geometrically (``fac_amr_rap.c``). Relaxation is Jacobi masked to the
+deepest-patch DOFs of each level (hypre relaxes patch levels only,
+``fac_relax.c``), and the base grid is solved by BoomerAMG
+(``fac_cycle.c`` drives the same patch-relax / coarse-correct recursion).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,65 +34,113 @@ from hypre_tpu.seq.ell import EllMatrix, csr_to_ell, ell_spmv
 
 
 @dataclasses.dataclass
+class _FACLevel:
+    A: EllMatrix
+    P: EllMatrix
+    R: EllMatrix
+    dinv: jax.Array
+    fmask: jax.Array
+
+
+def _galerkin(A: EllMatrix, P: EllMatrix, R: EllMatrix, nc: int) -> EllMatrix:
+    from hypre_tpu import native
+    from hypre_tpu.amg.hierarchy import _csr_to_ell_device, _ell_to_csr_arrays
+
+    n = A.n_rows
+    _, Ap_, Aj_, Ax_ = _ell_to_csr_arrays(A)
+    _, Pp, Pj, Px = _ell_to_csr_arrays(P)
+    _, Rp, Rj, Rx = _ell_to_csr_arrays(R)
+    APp, APj, APx = native.spgemm(n, nc, Ap_, Aj_, Ax_, Pp, Pj, Px)
+    Cp, Cj, Cx = native.spgemm(nc, nc, Rp, Rj, Rx, APp, APj, APx)
+    return _csr_to_ell_device(nc, nc, Cp, Cj, Cx, A.dtype)
+
+
+@dataclasses.dataclass
 class FAC:
-    """HYPRE_SStructFAC* object protocol (simplified: one refined level)."""
+    """HYPRE_SStructFAC* object protocol. One refined level (the classic
+    two-level FAC) or a full nested-patch stack (pass lists to setup)."""
 
     num_relax: int = 2
     relax_weight: float = 0.7
     coarse_amg: Optional[BoomerAMG] = None
 
     A: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    levels: Optional[List[_FACLevel]] = dataclasses.field(
+        default=None, repr=False
+    )
 
-    def setup(self, A: EllMatrix, fine_mask: np.ndarray, parent: np.ndarray) -> "FAC":
-        """A: composite operator. fine_mask[i]=True for fine-patch DOFs.
-        parent[i]: coarse-grid index every composite DOF maps to (fine cells
-        -> their parent coarse cell, coarse cells -> themselves)."""
+    def setup(self, A: EllMatrix, fine_mask, parent) -> "FAC":
+        """A: composite operator on the finest composite DOF set.
+
+        Single refined level: ``fine_mask[i]=True`` for fine-patch DOFs and
+        ``parent[i]`` the coarse-grid index each composite DOF maps to
+        (fine cells -> their parent coarse cell, coarse cells ->
+        themselves).
+
+        Nested patches: pass lists — ``fine_mask[l]``/``parent[l]`` describe
+        the l-th derefinement step (level 0 = deepest patch), each mapping
+        the level-l composite DOF set onto the level-(l+1) one. Operators
+        for every derefined composite grid come out as Galerkin RAPs.
+        """
+        if not isinstance(fine_mask, (list, tuple)):
+            fine_mask, parent = [fine_mask], [parent]
         self.A = A
-        n = A.n_rows
-        parent = np.asarray(parent, np.int64)
-        nc = int(parent.max()) + 1
-        # prolongation: piecewise-constant injection from the parent cell
-        P = HostCSR.from_coo(np.arange(n), parent, np.ones(n), (n, nc))
-        # restriction: volume-weighted average onto parents
-        wts = np.ones(n)
-        counts = np.bincount(parent, minlength=nc).astype(float)
-        wts = 1.0 / counts[parent]
-        R = HostCSR.from_coo(parent, np.arange(n), wts, (nc, n))
-        self._P = csr_to_ell(P, dtype=A.dtype)
-        self._R = csr_to_ell(R, dtype=A.dtype)
-        # Galerkin coarse operator through the native kernels
-        from hypre_tpu import native
-        from hypre_tpu.amg.hierarchy import _csr_to_ell_device, _ell_to_csr_arrays
-
-        _, Ap_, Aj_, Ax_ = _ell_to_csr_arrays(A)
-        _, Pp, Pj, Px = _ell_to_csr_arrays(self._P)
-        _, Rp, Rj, Rx = _ell_to_csr_arrays(self._R)
-        APp, APj, APx = native.spgemm(n, nc, Ap_, Aj_, Ax_, Pp, Pj, Px)
-        Cp, Cj, Cx = native.spgemm(nc, nc, Rp, Rj, Rx, APp, APj, APx)
-        A_H = _csr_to_ell_device(nc, nc, Cp, Cj, Cx, A.dtype)
-        self.coarse_amg = (self.coarse_amg or BoomerAMG(max_coarse_size=256)).setup(A_H)
-        diag = A.diagonal()
-        self._dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
-        self._fmask = jnp.asarray(fine_mask.astype(np.asarray(A.vals).dtype))
+        self.levels = []
+        A_l = A
+        for mask_l, parent_l in zip(fine_mask, parent):
+            n = A_l.n_rows
+            parent_l = np.asarray(parent_l, np.int64)
+            nc = int(parent_l.max()) + 1
+            # prolongation: piecewise-constant injection from the parent
+            P = HostCSR.from_coo(np.arange(n), parent_l, np.ones(n), (n, nc))
+            # restriction: volume-weighted average onto parents
+            counts = np.bincount(parent_l, minlength=nc).astype(float)
+            wts = 1.0 / counts[parent_l]
+            R = HostCSR.from_coo(parent_l, np.arange(n), wts, (nc, n))
+            P_e = csr_to_ell(P, dtype=A_l.dtype)
+            R_e = csr_to_ell(R, dtype=A_l.dtype)
+            diag = A_l.diagonal()
+            dinv = jnp.where(
+                diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0
+            )
+            fmask = jnp.asarray(
+                np.asarray(mask_l).astype(np.asarray(A_l.vals).dtype)
+            )
+            A_c = _galerkin(A_l, P_e, R_e, nc)
+            self.levels.append(
+                _FACLevel(A=A_l, P=P_e, R=R_e, dinv=dinv, fmask=fmask)
+            )
+            A_l = A_c
+        self.coarse_amg = (
+            self.coarse_amg or BoomerAMG(max_coarse_size=256)
+        ).setup(A_l)
         return self
 
-    def _patch_relax(self, u, f):
+    def _patch_relax(self, lev: _FACLevel, u, f):
         for _ in range(self.num_relax):
-            r = f - ell_spmv(self.A, u)
-            u = u + self.relax_weight * self._fmask * self._dinv * r
+            r = f - ell_spmv(lev.A, u)
+            u = u + self.relax_weight * lev.fmask * lev.dinv * r
         return u
 
     def cycle(self, f: jax.Array, u: Optional[jax.Array] = None) -> jax.Array:
-        """One FAC cycle: patch relax -> coarse correction -> patch relax
+        """One FAC cycle: per level patch relax -> restrict -> recurse ->
+        correct -> patch relax; base grid solved by one AMG cycle
         (fac_cycle.c)."""
+
+        def descend(l: int, f, u):
+            if l == len(self.levels):
+                return self.coarse_amg.cycle(f)
+            lev = self.levels[l]
+            u = self._patch_relax(lev, u, f)
+            r = f - ell_spmv(lev.A, u)
+            rc = ell_spmv(lev.R, r)
+            ec = descend(l + 1, rc, jnp.zeros_like(rc))
+            u = u + ell_spmv(lev.P, ec)
+            return self._patch_relax(lev, u, f)
+
         if u is None:
             u = jnp.zeros_like(f)
-        u = self._patch_relax(u, f)
-        r = f - ell_spmv(self.A, u)
-        rc = ell_spmv(self._R, r)
-        ec = self.coarse_amg.cycle(rc)
-        u = u + ell_spmv(self._P, ec)
-        return self._patch_relax(u, f)
+        return descend(0, f, u)
 
     def precond(self):
         return lambda r: self.cycle(r)
@@ -207,3 +258,120 @@ def composite_poisson_2d(Nc: int, patch_lo: tuple, patch_hi: tuple):
     for (I, J), idx in coarse_ids.items():
         parent[idx] = I * Nc + J
     return A, fine_mask, parent, (nfine, n)
+
+
+def composite_poisson_nested(Nc: int, patches: list):
+    """Nested-patch composite Poisson (refinement 2 per patch level).
+
+    ``patches``: list of (lo, hi) boxes in COARSE cell coordinates, each
+    strictly nested inside the previous. A coarse cell inside the first l
+    patches carries 2^l x 2^l leaf cells of size 2^-l (unless a deeper
+    patch refines it further). Conservative FV fluxes: face length = the
+    smaller cell side, center distance = half-side sums — the same
+    interface discretization hypre's FAC examples use (ex13-class AMR).
+
+    Returns (A, masks, parents, n) where masks/parents are the per-level
+    lists FAC.setup consumes (level 0 derefines the deepest patch).
+    """
+    L = len(patches)
+    S = 1 << L  # finest resolution per coarse cell
+
+    def depth(I, J):
+        d = 0
+        for lo, hi in patches:
+            if lo[0] <= I < hi[0] and lo[1] <= J < hi[1]:
+                d += 1
+            else:
+                break
+        return d
+
+    def leaves_at(trunc: int):
+        """Leaf cells when refinement depth is capped at ``trunc``: dict
+        (x0, y0, size) -> id in finest-resolution integer coords."""
+        ids = {}
+        for I in range(Nc):
+            for J in range(Nc):
+                d = min(depth(I, J), trunc)
+                s = S >> d
+                for a in range(1 << d):
+                    for b in range(1 << d):
+                        key = (I * S + a * s, J * S + b * s, s)
+                        ids[key] = len(ids)
+        return ids
+
+    full = leaves_at(L)
+    n = len(full)
+
+    # conservative FV assembly over the leaf set (O(n) via face lookup)
+    # owner(x, y) -> leaf containing finest-resolution point (x, y)
+    max_d = {}
+    for I in range(Nc):
+        for J in range(Nc):
+            max_d[(I, J)] = depth(I, J)
+
+    def owner(x, y):
+        if not (0 <= x < Nc * S and 0 <= y < Nc * S):
+            return None
+        d = max_d[(x // S, y // S)]
+        s = S >> d
+        return (x - x % s, y - y % s, s)
+
+    rows, cols, vals = [], [], []
+    for (x0, y0, s), idx in full.items():
+        diag = 0.0
+        # walk each face in steps of the smallest neighbor size
+        for side in range(4):
+            if side == 0:  # +x
+                probes = [(x0 + s, y0 + t) for t in range(s)]
+            elif side == 1:  # -x
+                probes = [(x0 - 1, y0 + t) for t in range(s)]
+            elif side == 2:  # +y
+                probes = [(x0 + t, y0 + s) for t in range(s)]
+            else:  # -y
+                probes = [(x0 + t, y0 - 1) for t in range(s)]
+            seen = set()
+            boundary_faces = 0
+            for px, py in probes:
+                nb = owner(px, py)
+                if nb is None:
+                    boundary_faces += 1
+                    continue
+                if nb in seen:
+                    continue
+                seen.add(nb)
+                s2 = nb[2]
+                face = min(s, s2) / S
+                dist = (s + s2) / (2 * S)
+                w = face / dist
+                rows.append(idx)
+                cols.append(full[nb])
+                vals.append(-w)
+                diag += w
+            if boundary_faces:
+                # Dirichlet wall: per finest-resolution probe, face 1/S,
+                # center-to-wall distance s/(2S) -> 2/s each
+                diag += boundary_faces * 2.0 / s
+        rows.append(idx)
+        cols.append(idx)
+        vals.append(diag)
+
+    A = csr_to_ell(HostCSR.from_coo(rows, cols, vals, (n, n)))
+
+    masks, parents = [], []
+    cur = full
+    for l in range(L):
+        trunc = L - 1 - l
+        nxt = leaves_at(trunc)
+        min_s = min(s for (_, _, s) in cur)
+        mask = np.zeros(len(cur), bool)
+        parent = np.zeros(len(cur), np.int64)
+        for (x0, y0, s), idx in cur.items():
+            mask[idx] = s == min_s  # the deepest-patch cells relax
+            # parent leaf in the derefined grid
+            d_here = min(max_d[(x0 // S, y0 // S)], trunc)
+            sp = S >> d_here
+            parent[idx] = nxt[(x0 - x0 % sp, y0 - y0 % sp, sp)]
+        masks.append(mask)
+        parents.append(parent)
+        cur = nxt
+    return A, masks, parents, n

@@ -128,6 +128,28 @@ class SysPFMGLevel:
     A: SysStructMatrix
     P: Optional[tuple]  # tuple of per-variable SemiInterp
     dinv: jax.Array  # (nvars, *shape)
+    # per-point inverse of the (nvars, nvars) center coupling block —
+    # nodal relaxation (sstruct_ls/node_relax.c); None when relax is
+    # pointwise
+    node_dinv: Optional[jax.Array] = None  # (nvars, nvars, *shape)
+
+
+def _node_block_inverse(A: SysStructMatrix) -> jax.Array:
+    """Per-grid-point inverse of the nvars x nvars center-coefficient
+    block (node_relax.c solves these little systems per node; on TPU they
+    batch into one jnp.linalg.inv over the grid)."""
+    c = A.stencil.center_index()
+    nv = A.nvars
+    blocks = A.coeffs[:, :, c]  # (nv, nv, *shape) — may be broadcastable
+    blocks = jnp.broadcast_to(blocks, (nv, nv) + tuple(A.shape))
+    flat = jnp.moveaxis(blocks.reshape(nv, nv, -1), -1, 0)  # (npts, nv, nv)
+    # guard singular nodes (Dirichlet-eliminated dofs): fall back to the
+    # scaled identity so the relaxation leaves them harmlessly damped
+    eye = jnp.eye(nv, dtype=A.dtype)
+    det_ok = jnp.abs(jnp.linalg.det(flat)) > 1e-30
+    safe = jnp.where(det_ok[:, None, None], flat, eye)
+    inv = jnp.linalg.inv(safe)
+    return jnp.moveaxis(inv, 0, -1).reshape((nv, nv) + tuple(A.shape))
 
 
 @dataclasses.dataclass
@@ -139,6 +161,11 @@ class SysPFMG:
     jacobi_weight: float = 0.7
     num_pre_relax: int = 1
     num_post_relax: int = 1
+    # 'jacobi' = pointwise weighted Jacobi on the variable diagonals;
+    # 'node-jacobi' / 'node-rbgs' = nodal relaxation solving the coupled
+    # nvars x nvars block per grid point (node_relax.c — hypre's SysPFMG
+    # default smoother family; rbgs sweeps the red/black checkerboard)
+    relax_type: str = "jacobi"
 
     levels: Optional[List[SysPFMGLevel]] = dataclasses.field(default=None, repr=False)
     coarse_inv: Optional[jax.Array] = dataclasses.field(default=None, repr=False)
@@ -182,7 +209,14 @@ class SysPFMG:
                 ]
             )
             dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
-            levels.append(SysPFMGLevel(A=A, P=Ps, dinv=dinv))
+            node_dinv = (
+                _node_block_inverse(A)
+                if self.relax_type.startswith("node")
+                else None
+            )
+            levels.append(
+                SysPFMGLevel(A=A, P=Ps, dinv=dinv, node_dinv=node_dinv)
+            )
             A = Ac
         self.coarse_inv = jnp.linalg.pinv(A.to_dense())
         self.coarse_meta = (A.nvars, A.shape)
@@ -190,6 +224,25 @@ class SysPFMG:
         return self
 
     def _relax(self, lev: SysPFMGLevel, u, f, sweeps):
+        if self.relax_type == "node-jacobi":
+            for _ in range(sweeps):
+                r = f - lev.A.mv(u)
+                u = u + self.jacobi_weight * jnp.einsum(
+                    "ij...,j...->i...", lev.node_dinv, r
+                )
+            return u
+        if self.relax_type == "node-rbgs":
+            # red-black nodal Gauss-Seidel: full node solves on the red
+            # checkerboard, then the black, each against a fresh residual
+            # (node_relax.c's nodal GS ordering; no damping needed)
+            idx = np.indices(lev.A.shape)
+            parity = jnp.asarray(sum(idx) % 2)
+            for _ in range(sweeps):
+                for color in (0, 1):
+                    r = f - lev.A.mv(u)
+                    du = jnp.einsum("ij...,j...->i...", lev.node_dinv, r)
+                    u = u + jnp.where(parity == color, du, 0.0)
+            return u
         for _ in range(sweeps):
             u = u + self.jacobi_weight * lev.dinv * (f - lev.A.mv(u))
         return u

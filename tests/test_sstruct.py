@@ -303,3 +303,62 @@ def test_sstruct_fem_addfemvalues_two_parts():
     # the shared column carries the interface solution (interior > 0)
     mid = grid.dof(0, (n, n // 2), 0)
     assert xs[mid] > 0
+
+
+def test_syspfmg_node_relax_strong_coupling():
+    """node_relax.c analogue: nodal block relaxation solves the coupled
+    nvars x nvars system per grid point; on a strongly coupled system it
+    must beat pointwise Jacobi, which barely damps the coupling."""
+    # strong node coupling, SPD overall: -Δu + 3u + 2.9v, 2.9u - Δv + 3v
+    # (node blocks [[c+3, 2.9], [2.9, c+3]]; system eigenvalues
+    # λ(L) + 3 ± 2.9 > 0)
+    A0 = _coupled_system(16, eps=2.9)
+    ci = A0.stencil.center_index()
+    coeffs = np.asarray(A0.coeffs).copy()
+    coeffs[0, 0, ci] += 3.0
+    coeffs[1, 1, ci] += 3.0
+    A = SysStructMatrix(
+        coeffs=jnp.asarray(coeffs), stencil=A0.stencil, shape=A0.shape
+    )
+    b = jnp.asarray(np.random.default_rng(5).standard_normal((2, 16, 16)))
+    it = {}
+    for relax in ("jacobi", "node-jacobi", "node-rbgs"):
+        sp = SysPFMG(max_coarse_size=128, relax_type=relax).setup(A)
+        x, info = sp.solve(b, rtol=1e-7, maxiter=200)
+        if bool(info.converged):
+            r = b - A.mv(x)
+            assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+        it[relax] = int(info.iterations) if bool(info.converged) else 999
+    assert it["node-jacobi"] <= 100
+    assert it["node-rbgs"] <= it["node-jacobi"]
+    assert it["node-jacobi"] < it["jacobi"]
+
+
+def test_fac_multilevel_nested_patches():
+    """Multi-level FAC (hypre fac_cycle.c recursion over nested AMR
+    levels): a 10x10 base grid with a 2x patch and a further 2x patch
+    nested inside it. The 3-level composite solve must converge fast and
+    match the dense solution."""
+    import numpy as np
+
+    from hypre_tpu.sstruct.fac import FAC, composite_poisson_nested
+    from hypre_tpu.seq.ell import ell_spmv, ell_to_csr
+
+    A, masks, parents, n = composite_poisson_nested(
+        10, [((2, 2), (8, 8)), ((4, 4), (6, 6))]
+    )
+    # operator sanity: symmetric M-matrix with positive diagonal
+    D = ell_to_csr(A).to_dense()
+    np.testing.assert_allclose(D, D.T, atol=1e-12)
+    assert (np.diag(D) > 0).all()
+
+    fac = FAC().setup(A, masks, parents)
+    assert len(fac.levels) == 2
+    b = jnp.asarray(np.random.default_rng(7).standard_normal(n))
+    x, info = fac.solve(b, rtol=1e-8, maxiter=80)
+    assert bool(info.converged), f"{info}"
+    r = b - ell_spmv(A, x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-7
+    assert int(info.iterations) <= 40
+    want = np.linalg.solve(D, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-5, atol=1e-6)
