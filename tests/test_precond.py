@@ -288,3 +288,35 @@ def test_euclid_smoke_fast():
     b = jnp.ones(A.n_rows, A.dtype)
     x, info = pcg(lambda v: ell_spmv(A, v), b, M=M, rtol=1e-6, maxiter=60)
     assert bool(info.converged)
+
+
+def test_ilu_schur_nsh(lap):
+    # hypre ilu_type 20/21: NSH approximate inverse of the interface Schur
+    # complement (par_ilu_setup.c NSH branch). The NSH preconditioner is a
+    # FIXED linear operator (unlike the inner-GMRES variant) so plain PCG
+    # can host it; iterations must land in the ILU-Schur class.
+    from hypre_tpu.precond import ILUSchurNSH
+
+    sch = ILUSchurNSH(nparts=2, nsh_iters=12).setup(lap)
+    # NSH converged: ||I - S X|| small on the interface block
+    m = sch.X.shape[0]
+    assert m > 0
+    it = _iters(lap, sch.precond(), rtol=1e-6, solver=gmres)
+    it_diag = _iters(
+        lap, (lambda d: (lambda r: d * r))(1.0 / lap.diagonal()),
+        rtol=1e-6, solver=gmres,
+    )
+    assert it < it_diag / 2, (it, it_diag)
+
+
+def test_poly_precond(lap, base_iters):
+    # HYPRE_LSI_poly.c analogue: least-squares polynomial preconditioner.
+    # Degree-6 p(A) must beat diagonal scaling; higher degree no worse.
+    from hypre_tpu.precond import PolyPrecond
+
+    p6 = PolyPrecond(order=6).setup(lap)
+    it6 = _iters(lap, p6.precond())
+    assert it6 < base_iters / 2, (it6, base_iters)
+    p2 = PolyPrecond(order=2).setup(lap)
+    it2 = _iters(lap, p2.precond())
+    assert it6 <= it2
