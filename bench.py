@@ -21,6 +21,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the tunnel's AOT compiles cost 20s-minutes
+# per program; the fused setup mega-programs are compiled once per sparsity
+# pattern and served from this cache on every later run (axon installs
+# fingerprint-keyed sidechannel hooks that make this work remotely).
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 HYPRE_SETUP_S = 0.155  # benchmark_ij.perf.saved.lassen:2 (4xV100, 2.1M rows/GPU)
 HYPRE_SOLVE_S = 0.486  # benchmark_ij.perf.saved.lassen:3
 

@@ -616,6 +616,8 @@ def _trim(cols, vals, req: int):
     width is what every downstream slab cost scales with, so keeping a
     3x-padded operator poisons all deeper levels."""
     w = min(_bucket(max(int(req), 1)), cols.shape[1])
+    if w == cols.shape[1]:
+        return cols, vals  # already exact (plan-hit path): no slice dispatch
     return cols[:, :w], vals[:, :w]
 
 
@@ -695,6 +697,128 @@ def _jit_transpose(p_cols, p_vals, nc, out_k):
 @partial(jax.jit, static_argnames=("out_k", "chunks"))
 def _jit_spgemm(a_cols, a_vals, b_cols, b_vals, out_k, chunks=1):
     return spgemm_slab(a_cols, a_vals, b_cols, b_vals, out_k, chunks=chunks)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-level programs — the tunnel charges ~25 ms of fixed transport
+# per dispatch, so the setup loop runs ONE program per CF split (the n_c
+# host sync is unavoidable: downstream shapes are static in n_coarse) and
+# ONE program for the whole interp->AP->P^T->RAP->drop chain. Slab widths
+# are static arguments fed from the width_plan; a first run with guessed
+# widths reads back the true requirements and retries once.
+# ---------------------------------------------------------------------------
+
+
+def _vectors_impl(vals, cols, need_cheby):
+    n = vals.shape[0]
+    rows = jnp.arange(n, dtype=cols.dtype)[:, None]
+    diag = jnp.sum(jnp.where(cols == rows, vals, 0), axis=1)
+    l1 = jnp.sum(jnp.abs(vals), axis=1)
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    l1inv = 1.0 / jnp.where(l1 > 0, l1, 1.0)
+    if need_cheby:
+        lmax = jnp.max(l1 * jnp.abs(dinv))
+    else:
+        lmax = jnp.asarray(0.0, vals.dtype)
+    return dinv, l1inv, lmax
+
+
+@partial(jax.jit, static_argnames=("s_cap", "s2_cap", "shifts", "need_cheby"))
+def _jit_split_agg2(vals, cols, theta, s_cap, s2_cap, shifts, need_cheby):
+    """split_agg fused with the level's smoother vectors (one dispatch)."""
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    S, scols, svals, _ = strength_and_cap(A, theta, s_cap, shifts)
+    cf1 = pmis_device(scols, A.n_rows, shifts=shifts)
+    cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap, shifts)
+    cmap, n_c = _coarse_map(cf)
+    dinv, l1inv, lmax = _vectors_impl(vals, cols, need_cheby)
+    return scols, svals, cf, cmap, n_c, dinv, l1inv, lmax
+
+
+@partial(jax.jit, static_argnames=("s_cap", "shifts", "symmetric",
+                                   "need_cheby"))
+def _jit_split2(vals, cols, theta, s_cap, shifts, symmetric, need_cheby):
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    S, scols, svals, sback = strength_and_cap(
+        A, theta, s_cap, shifts, with_back=not symmetric
+    )
+    cf = pmis_device(scols, A.n_rows, shifts=shifts)
+    cmap, n_c = _coarse_map(cf)
+    if sback is None:
+        sback = jnp.zeros((0,), vals.dtype)
+    dinv, l1inv, lmax = _vectors_impl(vals, cols, need_cheby)
+    return scols, svals, sback, cf, cmap, n_c, dinv, l1inv, lmax
+
+
+def _galerkin_impl(vals, cols, pc, pv, nc, out_ap, ap_cap, ch_ap, out_t,
+                   out_ac, ch_ac, shifts, drop_tol):
+    """A@P -> P^T -> P^T(AP) -> symmetric drop+lump, traced inline."""
+    apc, apv, req_ap = spgemm_slab(cols, vals, pc, pv, out_ap,
+                                   shifts=shifts, chunks=ch_ap)
+    if ap_cap and ap_cap < out_ap:
+        apc, apv = cap_slab(apc, apv, ap_cap, lump_largest=True)
+    tc, tv, req_t = transpose_slab(pc, pv, nc, out_t)
+    acc, acv, req_ac = spgemm_slab(tc, tv, apc, apv, out_ac, chunks=ch_ac)
+    if drop_tol > 0:
+        from hypre_tpu.seq.slabops import compact_mask_slab
+
+        n, k = acc.shape
+        rows = jnp.arange(nc, dtype=acc.dtype)[:, None]
+        is_diag = acc == rows
+        diag = jnp.sum(jnp.where(is_diag, acv, 0), axis=1)
+        dj = jnp.where(acc >= 0, jnp.abs(diag)[jnp.maximum(acc, 0)], 1.0)
+        thresh = drop_tol * jnp.sqrt(jnp.abs(diag)[:, None] * dj)
+        keep = is_diag | ((acc >= 0) & (jnp.abs(acv) >= thresh))
+        lump = jnp.sum(jnp.where((acc >= 0) & ~keep, acv, 0), axis=1)
+        acv = jnp.where(is_diag, acv + lump[:, None] * is_diag, acv)
+        acc, acv = compact_mask_slab(acc, acv, keep, k)
+    rowmax = jnp.max(jnp.sum((acc >= 0).astype(jnp.int32), axis=1))
+    reqs = jnp.stack([req_ap, req_t, req_ac, rowmax])
+    return apc, tc, tv, acc, acv, reqs
+
+
+@partial(jax.jit, static_argnames=(
+    "out_k", "p_max", "trunc_f", "shifts", "symmetric", "ch_i", "nc",
+    "out_ap", "ap_cap", "ch_ap", "out_t", "out_ac", "ch_ac", "drop_tol"))
+def _jit_level_build(vals, cols, scols, svals, sback, cf, cmap, out_k,
+                     p_max, trunc_f, shifts, symmetric, ch_i, nc, out_ap,
+                     ap_cap, ch_ap, out_t, out_ac, ch_ac, drop_tol):
+    """ext+i interpolation + Galerkin triple product, one dispatch."""
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    back_hat = None
+    if not symmetric:
+        diag = A.diagonal()
+        sgn = jnp.where(diag >= 0, 1.0, -1.0).astype(A.dtype)
+        g_sgn = _gather_rows(sgn, jnp.maximum(scols, 0), shifts)
+        back_hat = jnp.where(sback * g_sgn < 0, sback, 0.0)
+    pc, pv, req_p = ext_plus_i_device(
+        A, scols, svals, cf, out_k, p_max_elmts=p_max, trunc_factor=trunc_f,
+        shifts=shifts, back_hat=back_hat, chunks=ch_i,
+    )
+    pc, pv = remap_fine_to_coarse(pc, pv, cmap)
+    apc, tc, tv, acc, acv, reqs = _galerkin_impl(
+        vals, cols, pc, pv, nc, out_ap, ap_cap, ch_ap, out_t, out_ac,
+        ch_ac, shifts, drop_tol,
+    )
+    return pc, pv, tc, tv, acc, acv, jnp.concatenate([req_p[None], reqs])
+
+
+@partial(jax.jit, static_argnames=(
+    "p_max", "shifts", "nc", "out_ap", "ap_cap", "ch_ap", "out_t",
+    "out_ac", "ch_ac", "drop_tol"))
+def _jit_level_build_agg(vals, cols, scols, svals, cf, cmap, p_max, shifts,
+                         nc, out_ap, ap_cap, ch_ap, out_t, out_ac, ch_ac,
+                         drop_tol):
+    """Multipass interpolation + Galerkin triple product, one dispatch."""
+    A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
+    pc, pv, req_p = multipass_interp_device(
+        A, scols, svals, cf, cmap, p_max, shifts=shifts
+    )
+    apc, tc, tv, acc, acv, reqs = _galerkin_impl(
+        vals, cols, pc, pv, nc, out_ap, ap_cap, ch_ap, out_t, out_ac,
+        ch_ac, shifts, drop_tol,
+    )
+    return pc, pv, tc, tv, acc, acv, jnp.concatenate([req_p[None], reqs])
 
 
 @partial(jax.jit, static_argnames=("tol",))
@@ -790,6 +914,19 @@ def setup_hierarchy_device(
     """
     from hypre_tpu.amg.hierarchy import AMGHierarchy, Level, _level_vectors
 
+    import os
+    import time as _time
+
+    _log_on = bool(os.environ.get("HYPRE_TPU_LOG_SETUP"))
+
+    def _log(msg):
+        if _log_on:
+            import sys
+
+            print(f"[setup +{_time.perf_counter()-_log_t0:7.2f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    _log_t0 = _time.perf_counter()
     plan = width_plan if width_plan is not None else {}
     need_cheby = relax == "chebyshev"
     dtype = A.dtype
@@ -800,21 +937,22 @@ def setup_hierarchy_device(
     while len(levels) < max_levels - 1 and A_cur.n_rows > max_coarse_size:
         n, kA = A_cur.cols.shape
         aggressive = len(levels) < agg_num_levels
+        theta = jnp.asarray(strength_threshold, dtype)
         if aggressive:
-            scols, svals, cf, cmap, n_c = _jit_split_agg(
-                A_cur.vals, A_cur.cols,
-                jnp.asarray(strength_threshold, dtype),
-                min(s_cap, A_cur.k), _bucket(4 * min(s_cap, A_cur.k)),
-                shifts,
+            scols, svals, cf, cmap, n_c, dinv, l1inv, lmax = _jit_split_agg2(
+                A_cur.vals, A_cur.cols, theta, min(s_cap, A_cur.k),
+                _bucket(4 * min(s_cap, A_cur.k)), shifts, need_cheby,
             )
             sback = jnp.zeros((0,), dtype)
         else:
-            scols, svals, sback, cf, cmap, n_c = _jit_split(
-                A_cur.vals, A_cur.cols,
-                jnp.asarray(strength_threshold, dtype),
-                min(s_cap, A_cur.k), shifts, symmetric,
+            (scols, svals, sback, cf, cmap, n_c, dinv, l1inv,
+             lmax) = _jit_split2(
+                A_cur.vals, A_cur.cols, theta, min(s_cap, A_cur.k), shifts,
+                symmetric, need_cheby,
             )
-        n_coarse = int(n_c)
+        n_coarse = int(n_c)  # the per-level host sync (downstream shapes)
+        _log(f"L{len(levels)} split done: n={n} -> n_c={n_coarse} "
+             f"(agg={aggressive})")
         if n_coarse == 0 or n_coarse >= coarsen_rtol * n:
             break
         ks = scols.shape[1]
@@ -829,84 +967,99 @@ def setup_hierarchy_device(
             return c
 
         ch_i = nchunks(n, ks * ks + ks + 1)
-        if aggressive:
-            # multipass interpolation (hypre's agg_interp_type default 4)
-            pc, pv, req = _jit_multipass(
-                A_cur.vals, A_cur.cols, scols, svals, cf, cmap,
-                max(p_max_elmts, 1), shifts,
-            )
-        else:
-            pc, pv, req = _jit_interp(
-                A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap, out_k,
-                p_max_elmts, float(trunc_factor), shifts, symmetric, ch_i,
-            )
-            if p_max_elmts <= 0 and int(req) > out_k:
-                pc, pv, req = _jit_interp(
-                    A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap,
-                    _bucket(int(req)), p_max_elmts, float(trunc_factor),
-                    shifts, symmetric, ch_i,
-                )
-        P = EllMatrix(vals=pv, cols=pc, n_cols=n_coarse)
-
         lev_id = len(levels)
-
-        # A @ P
-        out_ap = plan.get((lev_id, "ap"), _bucket(min(kA * P.k, 3 * kA + 8)))
-        ch_ap = nchunks(n, kA * P.k)
-        apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv, out_ap,
-                                shifts, ap_cap, ch_ap)
-        if int(req) > out_ap:
-            out_ap = _bucket(int(req))
-            apc, apv, req = _jit_ap(A_cur.vals, A_cur.cols, pc, pv, out_ap,
-                                    shifts, ap_cap, ch_ap)
-        plan[(lev_id, "ap")] = out_ap
-        apc, apv = _trim(apc, apv, int(req) if not ap_cap else ap_cap)
-        kAP = apc.shape[1]
-
-        # P^T (needed for both the triple product and the hierarchy)
-        nnz_p = int(_jit_nnz(pc))
+        kP = plan.get((lev_id, "p"), out_k if not aggressive else None)
+        # width guesses (exact on plan hits — then the whole level chain
+        # below runs as ONE dispatch with no retry)
+        out_ap = plan.get((lev_id, "ap"), _bucket(min(kA * (kP or 8),
+                                                      3 * kA + 8)))
         out_t = plan.get(
-            (lev_id, "t"), _bucket(max(int(2.5 * nnz_p / max(n_coarse, 1)), 4))
+            (lev_id, "t"),
+            _bucket(max(int(4.0 * n / max(n_coarse, 1)), 8)),
         )
-        tc, tv, req = _jit_transpose(pc, pv, n_coarse, out_t)
-        if int(req) > out_t:
-            out_t = _bucket(int(req))
-            tc, tv, req = _jit_transpose(pc, pv, n_coarse, out_t)
-        plan[(lev_id, "t")] = out_t
-        tc, tv = _trim(tc, tv, int(req))
-
-        # A_c = P^T (A P)
         out_ac = plan.get((lev_id, "ac"), _bucket(max(min(3 * kA, 256), 32)))
-        ch_ac = nchunks(n_coarse, tc.shape[1] * kAP)
-        acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
-        if int(req) > out_ac:
-            out_ac = _bucket(int(req))
-            acc, acv, req = _jit_spgemm(tc, tv, apc, apv, out_ac, ch_ac)
-        plan[(lev_id, "ac")] = out_ac
-        acc, acv = _trim(acc, acv, int(req))
-        if coarse_drop_tol > 0:
-            # non-Galerkin sparsification (par_nongalerkin.c): drop
-            # |a_ij| < tol*sqrt(a_ii a_jj) — a SYMMETRIC criterion, so the
-            # coarse operator stays symmetric for PCG — and lump the
-            # dropped mass onto the diagonal (row sums preserved). Thins
-            # every deeper level's slabs AND the solve-phase kernels.
-            acc, acv = _jit_drop_lump(acc, acv, float(coarse_drop_tol))
-            acc, acv = _trim(acc, acv, int(_jit_rowmax(acc)))
 
-        dinv, l1inv, lmax = _jit_level_vectors(
-            A_cur.vals, A_cur.cols, need_cheby
-        )
+        def run_level(out_ap, out_t, out_ac):
+            ch_ap = nchunks(n, kA * (kP or out_k))
+            ch_ac = nchunks(n_coarse, out_t * out_ap)
+            if aggressive:
+                return _jit_level_build_agg(
+                    A_cur.vals, A_cur.cols, scols, svals, cf, cmap,
+                    max(p_max_elmts, 1), shifts, n_coarse, out_ap, ap_cap,
+                    ch_ap, out_t, out_ac, ch_ac, float(coarse_drop_tol),
+                )
+            return _jit_level_build(
+                A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap,
+                out_k, p_max_elmts, float(trunc_factor), shifts, symmetric,
+                ch_i, n_coarse, out_ap, ap_cap, ch_ap, out_t, out_ac,
+                ch_ac, float(coarse_drop_tol),
+            )
+
+        # Width protocol: dispatch, grow any short capacity (merge
+        # truncation) until sufficient; on the FIRST sighting of this
+        # pattern also shrink fat guesses to the measured requirement.
+        # The plan then records the VERIFIED DISPATCH widths — subsequent
+        # same-pattern setups re-issue the exact same static signature
+        # (one dispatch, no retry, no fresh program load: a new mega
+        # program costs seconds of tunnel AOT-load even on a
+        # persistent-cache hit, which must not land in a timed rebuild).
+        may_shrink = (lev_id, "ac") not in plan
+        for _attempt in range(5):
+            _log(f"L{lev_id} attempt {_attempt}: ap={out_ap} t={out_t} "
+                 f"ac={out_ac}")
+            pc, pv, tc, tv, acc, acv, reqs_d = run_level(
+                out_ap, out_t, out_ac
+            )
+            req_p, req_ap, req_t, req_ac, rowmax = (
+                int(v) for v in np.asarray(reqs_d)
+            )
+            _log(f"L{lev_id} attempt {_attempt} done: req_ap={req_ap} "
+                 f"req_t={req_t} req_ac={req_ac} rowmax={rowmax}")
+            if req_ap > out_ap or req_t > out_t or req_ac > out_ac:
+                out_ap = max(out_ap, _bucket(req_ap))
+                out_t = max(out_t, _bucket(req_t))
+                out_ac = max(out_ac, _bucket(req_ac))
+                continue
+            if may_shrink:
+                may_shrink = False
+                fin = (min(_bucket(max(req_ap, 1)), out_ap),
+                       min(_bucket(max(req_t, 1)), out_t),
+                       min(_bucket(max(req_ac, 1)), out_ac))
+                if fin != (out_ap, out_t, out_ac):
+                    out_ap, out_t, out_ac = fin
+                    continue
+            break
+        plan[(lev_id, "p")] = pc.shape[1]
+        plan[(lev_id, "ap")] = out_ap
+        plan[(lev_id, "t")] = out_t
+        plan[(lev_id, "ac")] = out_ac
+        tc, tv = _trim(tc, tv, req_t)
+        acc, acv = _trim(acc, acv, rowmax)
+
+        P = EllMatrix(vals=pv, cols=pc, n_cols=n_coarse)
         P_store, Pt_store = P, EllMatrix(vals=tv, cols=tc, n_cols=n)
         if transfer_dia and shifts is not None:
             # stencil level: store the interpolation as fine-space
             # diagonals so solve-phase transfers ride the roofline DIA
-            # kernel (seq/transfer_dia.py)
-            from hypre_tpu.seq.transfer_dia import try_transfer_dia
+            # kernel (seq/transfer_dia.py); the distinct-offset probe runs
+            # once per pattern (the plan caches the offsets)
+            from hypre_tpu.seq.transfer_dia import (
+                probe_transfer_offsets, build_transfer_dia,
+            )
 
-            c2f = _jit_c2f(cf, n_coarse)
-            T = try_transfer_dia(P, c2f)
+            offs = plan.get((lev_id, "tdoffs"))
+            if offs is None:
+                offs = probe_transfer_offsets(pc, cf, n_coarse)
+                plan[(lev_id, "tdoffs")] = offs
+            T = (
+                build_transfer_dia(P, cf, offs)
+                if offs is not None
+                else None
+            )
             if T is not None:
                 P_store, Pt_store = T, None
+        _log(f"L{lev_id} level stored (transfer_dia="
+             f"{Pt_store is None})")
         levels.append(
             Level(A=A_cur, P=P_store, Pt=Pt_store, dinv=dinv, l1inv=l1inv,
                   lmax=lmax)

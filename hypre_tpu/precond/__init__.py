@@ -10,3 +10,5 @@ from hypre_tpu.precond.parasails import ParaSails
 from hypre_tpu.precond.ilu import ILU, ILUT
 from hypre_tpu.precond.euclid import Euclid, PILUT
 from hypre_tpu.precond.schwarz import Schwarz
+from hypre_tpu.precond.ilu_schur import ILUSchurGMRES, ILUSchurNSH
+from hypre_tpu.precond.poly import PolyPrecond

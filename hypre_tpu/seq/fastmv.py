@@ -316,19 +316,17 @@ def try_banded(
     # formulation for restrictions is the planned upgrade)
     B = block or 1024
     n_pad = -(-n // B) * B
-    blk_min_d, blk_max_d = _banded_minmax(A.vals, A.cols, B, n_pad)
-    blk_min = np.asarray(blk_min_d)  # (n/B,) — the only host pulls
-    blk_max = np.asarray(blk_max_d)
-    empty = blk_max < 0
-    blk_min = np.where(empty, 0, blk_min)
-    blk_max = np.where(empty, 0, blk_max)
-    lo = (blk_min // ALIGN) * ALIGN
-    W = int(-(-int((blk_max - lo + 1).max()) // ALIGN) * ALIGN)
+    # ONE dispatch + ONE tiny pull: the schedule (per-block aligned starts)
+    # and the slot-major payload come out of a single fused program, and
+    # only a 2-scalar vector returns to host (this tunnel charges ~25 ms
+    # per dispatch AND per pull — the original minmax-pull-payload protocol
+    # cost ~130 ms per operator, 5x this one)
+    vals_t, lcols_t, lo_d, sc = _banded_sched_payload(A.vals, A.cols, B, n_pad)
+    wmax, lomax = (int(v) for v in np.asarray(sc))
+    W = -(-wmax // ALIGN) * ALIGN
     if W > max_window:
         return None
-    n_xpad = int(max(lo.max() + W, -(-A.n_cols // ALIGN) * ALIGN))
-    lo_d = jnp.asarray(lo.astype(np.int32))
-    vals_t, lcols_t = _banded_payload(A.vals, A.cols, lo_d, B, n_pad)
+    n_xpad = int(max(lomax + W, -(-A.n_cols // ALIGN) * ALIGN))
     return BandedEll(
         ell=A,
         vals_t=vals_t,
@@ -341,6 +339,41 @@ def try_banded(
         n_rows_s=A.n_rows,
         n_cols_s=A.n_cols,
     )
+
+
+def _sched_impl(cols, B, n_pad):
+    """Per-block aligned window starts + [max window span, max start]
+    scalars — all device-side (shared by the jit below and the fused
+    transfer-dia builder)."""
+    valid = cols >= 0
+    big = jnp.int32(np.iinfo(np.int32).max)
+    blk_min = jnp.min(jnp.where(valid, cols, big).reshape(n_pad // B, -1), axis=1)
+    blk_max = jnp.max(jnp.where(valid, cols, -1).reshape(n_pad // B, -1), axis=1)
+    empty = blk_max < 0
+    blk_min = jnp.where(empty, 0, blk_min)
+    blk_max = jnp.where(empty, 0, blk_max)
+    lo = ((blk_min // ALIGN) * ALIGN).astype(jnp.int32)
+    sc = jnp.stack([jnp.max(blk_max - lo + 1), jnp.max(lo)])
+    return lo, sc
+
+
+def _payload_impl(vals, cols, lo, B):
+    valid = cols >= 0
+    lcols = jnp.where(
+        valid, cols - jnp.repeat(lo, B)[:, None], 0
+    ).astype(jnp.int32)
+    return vals.T, lcols.T
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _banded_sched_payload(vals, cols, B, n_pad):
+    n, k = cols.shape
+    if n_pad != n:
+        cols = jnp.concatenate([cols, jnp.full((n_pad - n, k), -1, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((n_pad - n, k), vals.dtype)])
+    lo, sc = _sched_impl(cols, B, n_pad)
+    vals_t, lcols_t = _payload_impl(vals, cols, lo, B)
+    return vals_t, lcols_t, lo, sc
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

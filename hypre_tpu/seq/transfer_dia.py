@@ -123,6 +123,156 @@ def _transpose_planes(dvals, offs):
     return jnp.stack([_shift1d(dvals[d], -o) for d, o in enumerate(offs)])
 
 
+# ---------------------------------------------------------------------------
+# Fused one-dispatch builder (what setup_hierarchy_device uses)
+# ---------------------------------------------------------------------------
+
+_C_PT = 1  # coarsen.py / device_setup.py C_PT marker
+
+
+@_ft.partial(jax.jit, static_argnames=("nc", "max_offsets"))
+def _probe_offsets_jit(pc, cf, nc, max_offsets):
+    n = pc.shape[0]
+    key = jnp.where(
+        cf == _C_PT, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**30)
+    )
+    c2f = jnp.sort(key)[:nc]
+    valid = pc >= 0
+    pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+    diff = jnp.where(
+        valid, pf - jnp.arange(n, dtype=jnp.int32)[:, None], jnp.int32(2**30)
+    )
+    s_ = jnp.sort(diff.reshape(-1))
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), s_[1:] != s_[:-1]]
+    ) & (s_ < 2**30)
+    count = jnp.sum(is_new)
+    pos = jnp.where(is_new, jnp.arange(s_.shape[0]), 2**30)
+    _, uniq = jax.lax.sort((pos, s_), num_keys=1)
+    uniq = jnp.where(
+        jnp.arange(max_offsets) < count, uniq[:max_offsets], jnp.int32(2**30)
+    )
+    return uniq
+
+
+def probe_transfer_offsets(pc, cf, nc: int, max_offsets: int = 96):
+    """Distinct fine-space diagonal offsets of P, or None if > max_offsets.
+    One dispatch + one small pull (sentinel-filled tail encodes the count)."""
+    import numpy as np
+
+    uniq = np.asarray(_probe_offsets_jit(pc, cf, nc, max_offsets + 1))
+    offs = uniq[uniq < 2**30]
+    if len(offs) > max_offsets:
+        return None
+    return tuple(sorted(int(o) for o in offs))
+
+
+@_ft.partial(jax.jit, static_argnames=("nc", "offs", "B"))
+def _build_fused(pc, pv, cf, nc, offs, B=1024):
+    """Diagonal planes (scatter-add over offset ids — one 7.8 ns/elt pass
+    instead of |offs| masked sweeps), their transpose, and the expand /
+    compress selection payloads with their window schedules: the whole
+    TransferDia build as one program. Only 4 scalars go back to host."""
+    from hypre_tpu.seq.dia import _shift1d
+    from hypre_tpu.seq.fastmv import _payload_impl, _sched_impl
+
+    n, k = pc.shape
+    key = jnp.where(
+        cf == _C_PT, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**30)
+    )
+    c2f = jnp.sort(key)[:nc]
+    valid = pc >= 0
+    pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
+    diff = pf - jnp.arange(n, dtype=jnp.int32)[:, None]
+    offs_arr = jnp.asarray(offs, jnp.int32)
+    oid = jnp.clip(jnp.searchsorted(offs_arr, diff), 0, len(offs) - 1)
+    hit = valid & (offs_arr[oid] == diff)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    dvals = (
+        jnp.zeros((len(offs), n), pv.dtype)
+        .at[oid, rows]
+        .add(jnp.where(hit, pv, 0))
+    )
+    dvalsT = jnp.stack([_shift1d(dvals[d], -o) for d, o in enumerate(offs)])
+
+    is_c_row = cf == _C_PT
+    cmap_dense = (jnp.cumsum(is_c_row.astype(jnp.int32)) - 1).astype(
+        jnp.int32
+    )
+    e_vals = jnp.where(is_c_row, 1.0, 0.0).astype(pv.dtype)[:, None]
+    e_cols = jnp.where(is_c_row, cmap_dense, -1).astype(jnp.int32)[:, None]
+    c_cols = c2f[:, None]
+    c_vals = jnp.ones((nc, 1), pv.dtype)
+
+    def pad_to(x, m, fill):
+        r = x.shape[0]
+        if r == m:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((m - r,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    n_pad_e = -(-n // B) * B
+    n_pad_c = -(-nc // B) * B
+    e_cols_p = pad_to(e_cols, n_pad_e, -1)
+    e_vals_p = pad_to(e_vals, n_pad_e, 0)
+    c_cols_p = pad_to(c_cols, n_pad_c, -1)
+    c_vals_p = pad_to(c_vals, n_pad_c, 0)
+    lo_e, sc_e = _sched_impl(e_cols_p, B, n_pad_e)
+    ev_t, el_t = _payload_impl(e_vals_p, e_cols_p, lo_e, B)
+    lo_c, sc_c = _sched_impl(c_cols_p, B, n_pad_c)
+    cv_t, cl_t = _payload_impl(c_vals_p, c_cols_p, lo_c, B)
+    return (dvals, dvalsT, e_vals, e_cols, c_cols, c_vals, ev_t, el_t,
+            lo_e, cv_t, cl_t, lo_c, jnp.concatenate([sc_e, sc_c]))
+
+
+def build_transfer_dia(P, cf, offs, exact: int = 0,
+                       max_window: int = 131072):
+    """TransferDia from P + the CF split + plan-cached offsets: one fused
+    dispatch and one 4-scalar pull (the unfused path cost ~0.8 s of
+    dispatch/pull overhead per setup through this tunnel).
+
+    Contract (same as width_plan): ``offs`` must cover P's pattern — reuse
+    across setups is valid only while the sparsity pattern is frozen.
+    """
+    import numpy as np
+
+    from hypre_tpu.seq.ell import EllMatrix
+    from hypre_tpu.seq.fastmv import ALIGN, BandedEll
+
+    if not isinstance(P, EllMatrix) or P.k < 1 or offs is None:
+        return None
+    n = P.n_rows
+    nc = P.n_cols
+    B = 1024
+    (dvals, dvalsT, e_vals, e_cols, c_cols, c_vals, ev_t, el_t, lo_e,
+     cv_t, cl_t, lo_c, sc) = _build_fused(P.cols, P.vals, cf, nc, offs)
+    wm_e, lm_e, wm_c, lm_c = (int(v) for v in np.asarray(sc))
+    W_e = -(-wm_e // ALIGN) * ALIGN
+    W_c = -(-wm_c // ALIGN) * ALIGN
+    if W_e > max_window or W_c > max_window:
+        return None
+    P_dia = DiaMatrix(dvals=dvals, offsets=offs, n_cols=n)
+    Pt_dia = DiaMatrix(
+        dvals=dvalsT, offsets=tuple(-o for o in offs), n_cols=n
+    )
+    Eb = BandedEll(
+        ell=EllMatrix(vals=e_vals, cols=e_cols, n_cols=nc),
+        vals_t=ev_t, lcols_t=el_t, starts=lo_e, W=W_e, B=B,
+        n_xpad=int(max(lm_e + W_e, -(-nc // ALIGN) * ALIGN)),
+        exact=exact, n_rows_s=n, n_cols_s=nc,
+    )
+    Cb = BandedEll(
+        ell=EllMatrix(vals=c_vals, cols=c_cols, n_cols=n),
+        vals_t=cv_t, lcols_t=cl_t, starts=lo_c, W=W_c, B=B,
+        n_xpad=int(max(lm_c + W_c, -(-n // ALIGN) * ALIGN)),
+        exact=exact, n_rows_s=nc, n_cols_s=n,
+    )
+    return TransferDia(
+        P_dia=P_dia, Pt_dia=Pt_dia, expand=Eb, compress=Cb, n_coarse_s=nc,
+    )
+
+
 def try_transfer_dia(P, c2f, max_offsets: int = 96, exact: int = 0):
     """Build the fine-space transfer operators, or None if P's pattern
     needs more than ``max_offsets`` distinct fine-space diagonals.
