@@ -76,6 +76,10 @@ class BoomerAMG:
     gather_precision: int = 0
     cheby_order: int = 2
     cheby_ratio: float = 0.3
+    # >0: estimate lambda_max by a CG/Lanczos run of this many steps
+    # instead of the 10-step power method (HYPRE_BoomerAMGSetChebyEigEst,
+    # hypre default 10; 0 keeps the power estimate)
+    cheby_eig_est: int = 0
 
     hierarchy: Optional[AMGHierarchy] = dataclasses.field(default=None, repr=False)
 
@@ -127,6 +131,23 @@ class BoomerAMG:
                 self.hierarchy = optimize_hierarchy(
                     self.hierarchy, gather_precision=self.gather_precision
                 )
+
+        if self.relax == "chebyshev" and self.cheby_eig_est > 0:
+            # replace the power-method lambda_max with the CG/Lanczos
+            # estimate (HYPRE_BoomerAMGSetChebyEigEst; par_relax_more.c's
+            # hypre_ParCSRMaxEigEstimateCG) — tighter bound, no 1.1 fudge
+            import dataclasses as _dc
+
+            from hypre_tpu.amg.relax import max_eig_estimate_cg
+
+            hier = self.hierarchy
+            new_levels = []
+            for lev in hier.levels:
+                emax, _ = max_eig_estimate_cg(
+                    lev.A, lev.dinv, self.cheby_eig_est
+                )
+                new_levels.append(_dc.replace(lev, lmax=emax))
+            self.hierarchy = _dc.replace(hier, levels=new_levels)
 
         self._smoother = make_smoother(
             self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio
@@ -209,6 +230,56 @@ class BoomerAMG:
         safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
         rel = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_b)
         return x, make_convergence_info(iters, rel, (i_prod <= eps) | (b_prod == 0))
+
+    def cycleT(self, f: jax.Array, u: Optional[jax.Array] = None) -> jax.Array:
+        """One transpose cycle (hypre_BoomerAMGCycleT)."""
+        assert self.hierarchy is not None, "call setup(A) first"
+        from hypre_tpu.amg.hierarchy import amg_cycle_t
+
+        return amg_cycle_t(
+            self.hierarchy, f, u,
+            relax_weight=self.relax_weight,
+            num_sweeps=self.num_sweeps,
+        )
+
+    def solveT(
+        self,
+        b: jax.Array,
+        x0: Optional[jax.Array] = None,
+        rtol: float = 1e-8,
+        maxiter: int = 100,
+    ) -> tuple[jax.Array, ConvergenceInfo]:
+        """Solve A^T x = b with transpose cycles (hypre_BoomerAMGSolveT,
+        par_amg_solveT.c:22) — used when AMG preconditions nonsymmetric
+        Krylov methods that need M^T applications (e.g. CGNR)."""
+        assert self.hierarchy is not None, "call setup(A) first"
+        A = self.hierarchy.levels[0].A if self.hierarchy.levels else None
+        if A is None:
+            x = self.hierarchy.coarse_inv.T @ b
+            return x, make_convergence_info(1, 0.0, True)
+        x = jnp.zeros_like(b) if x0 is None else x0
+        b_prod = dot(b, b)
+        eps = rtol * rtol * b_prod
+
+        def cond(state):
+            _, i_prod, it = state
+            return (i_prod > eps) & (it < maxiter) & jnp.isfinite(i_prod)
+
+        def body(state):
+            x, _, it = state
+            x = self.cycleT(b, x)
+            r = b - A.mv_t(x)
+            return (x, dot(r, r), it + 1)
+
+        r0 = b - A.mv_t(x)
+        x, i_prod, iters = jax.lax.while_loop(
+            cond, body, (x, dot(r0, r0), jnp.int32(0))
+        )
+        safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
+        rel = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_b)
+        return x, make_convergence_info(
+            iters, rel, (i_prod <= eps) | (b_prod == 0)
+        )
 
     # -- diagnostics (par_stats.c analogue) -----------------------------------
 

@@ -329,6 +329,54 @@ def amg_cycle(
     return descend(0, f, u, cycle_type)
 
 
+def amg_cycle_t(
+    hier: AMGHierarchy,
+    f: jax.Array,
+    u: Optional[jax.Array] = None,
+    relax_weight: float = 1.0,
+    num_sweeps: int = 1,
+) -> jax.Array:
+    """Transpose V-cycle: one multigrid cycle on A^T
+    (hypre_BoomerAMGCycleT inside par_amg_solveT.c).
+
+    A Galerkin hierarchy transposes level-by-level with the SAME
+    transfers: A_{l+1} = P^T A_l P implies A_{l+1}^T = P^T A_l^T P, so
+    the T-cycle only swaps every matvec for its transpose and the coarse
+    direct solve for its transpose — restriction stays P^T, interpolation
+    stays P. hypre forces the smoother to (damped) Jacobi here
+    (par_amg_solveT.c:443-444 clamps relax_type to 7/9, applied through
+    hypre_BoomerAMGRelaxT with a transposed matvec) because diag(A^T) =
+    diag(A); we do the same.
+    """
+    if not hier.galerkin:
+        raise ValueError(
+            "solveT requires a Galerkin hierarchy (AIR stores R != P^T; "
+            "its transpose cycle would need R^T interpolation)"
+        )
+
+    def descend(level: int, f: jax.Array, u: jax.Array) -> jax.Array:
+        if level == len(hier.levels):
+            with jax.named_scope("mg_coarse_solve_t"):
+                return hier.coarse_inv.T @ f
+        lev = hier.levels[level]
+        with jax.named_scope(f"mg_level_{level}_t"):
+            for _ in range(num_sweeps):
+                u = u + relax_weight * lev.dinv * (f - lev.A.mv_t(u))
+            r = f - lev.A.mv_t(u)
+            rc = _restrict_level(hier, lev, r)
+            ec = jnp.zeros(lev.P.vec_len_cols, f.dtype)
+        ec = descend(level + 1, rc, ec)
+        with jax.named_scope(f"mg_level_{level}_t_up"):
+            u = u + lev.P.mv(ec)
+            for _ in range(num_sweeps):
+                u = u + relax_weight * lev.dinv * (f - lev.A.mv_t(u))
+        return u
+
+    if u is None:
+        u = jnp.zeros_like(f)
+    return descend(0, f, u)
+
+
 def amg_additive_cycle(
     hier: AMGHierarchy,
     f: jax.Array,

@@ -62,6 +62,52 @@ def max_eig_estimate(A: EllMatrix, dinv: jax.Array, iters: int = 10) -> jax.Arra
     return 1.1 * jnp.vdot(x, y) / jnp.vdot(x, x)
 
 
+def max_eig_estimate_cg(
+    A: EllMatrix, dinv: jax.Array, iters: int = 10
+) -> tuple[jax.Array, jax.Array]:
+    """CG/Lanczos estimate of the extreme eigenvalues of D^{-1}A
+    (hypre_ParCSRMaxEigEstimateCG, par_relax_more.c:173): hypre runs
+    ``max_iter`` CG steps on a random vector against the diagonally
+    scaled operator and takes the extreme eigenvalues of the CG
+    tridiagonal. Here the equivalent Lanczos three-term recurrence runs
+    on the symmetrized B = D^{-1/2} A D^{-1/2} (same spectrum as D^{-1}A
+    for SPD A) and the (iters, iters) tridiagonal goes through one tiny
+    dense eigvalsh — returns (lambda_max, lambda_min), unscaled like the
+    reference (the power method needs a 1.1 fudge; this does not)."""
+    n = A.vec_len_rows
+    iters = min(iters, n)
+    s = jnp.sqrt(jnp.abs(dinv))
+    v = hash_rand01(jnp.arange(n, dtype=jnp.int32)).astype(A.dtype) - 0.5
+    v = v / jnp.linalg.norm(v)
+
+    def op(x):
+        return s * A.mv(s * x)
+
+    def body(j, carry):
+        v_prev, v_cur, alphas, betas = carry
+        w = op(v_cur)
+        alpha = jnp.vdot(v_cur, w)
+        w = w - alpha * v_cur - jnp.where(j > 0, betas[j - 1], 0.0) * v_prev
+        # one full reorthogonalization pass keeps the small tridiagonal
+        # honest in f32 (classic Lanczos loses orthogonality fast)
+        beta = jnp.linalg.norm(w)
+        w = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), w)
+        return (v_cur, w, alphas.at[j].set(alpha), betas.at[j].set(beta))
+
+    alphas = jnp.zeros(iters, A.dtype)
+    betas = jnp.zeros(iters, A.dtype)
+    _, _, alphas, betas = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(v), v, alphas, betas)
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[: iters - 1], 1)
+        + jnp.diag(betas[: iters - 1], -1)
+    )
+    eigs = jnp.linalg.eigvalsh(T)
+    return eigs[-1], jnp.maximum(eigs[0], 0.0)
+
+
 def chebyshev(
     A: EllMatrix,
     dinv: jax.Array,

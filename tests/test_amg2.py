@@ -336,3 +336,45 @@ def test_mult_additive_from_level_matches_v_cycle_class():
     it_mult = _amg_pcg_iters(A, relax="l1-jacobi")
     assert it_mult <= it_mixed + 1
     assert it_mixed <= it_add + 1
+
+
+def test_solve_t_nonsymmetric():
+    # par_amg_solveT.c: transpose cycles solve A^T x = b through the SAME
+    # Galerkin hierarchy (A_{l+1}^T = P^T A_l^T P), with Jacobi smoothing
+    # (the reference clamps relax_type to 7 there too)
+    from hypre_tpu.problems.laplacian import difconv_3d_7pt
+
+    A = difconv_3d_7pt(12, 12, 12, ax=1.0, ay=0.5, az=0.25)
+    amg = BoomerAMG(relax="jacobi", relax_weight=0.8, max_levels=8).setup(A)
+    b = jnp.ones(A.n_rows, A.dtype)
+    x, info = amg.solveT(b, rtol=1e-8, maxiter=60)
+    r = b - A.mv_t(x)
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert bool(info.converged), (int(info.iterations), rel)
+    assert rel < 1e-6, rel
+    # and it solved the TRANSPOSED system, not A itself
+    r_fwd = b - A.mv(x)
+    assert float(jnp.linalg.norm(r_fwd) / jnp.linalg.norm(b)) > 1e-3
+
+
+def test_cheby_eig_est_cg():
+    # par_relax_more.c:173 CG/Lanczos estimator: on a 1-D Laplacian the
+    # exact lambda_max(D^-1 A) is 2(1 - cos(pi*n/(n+1)))/2 -> ~2; the CG
+    # estimate must land within a few percent, unlike the fudged power
+    # estimate, and Chebyshev-smoothed AMG must still converge with it
+    from hypre_tpu.amg.relax import max_eig_estimate_cg
+    from hypre_tpu.problems.laplacian import laplacian_1d
+
+    A = laplacian_1d(512)
+    dinv = 1.0 / A.diagonal()
+    emax, emin = max_eig_estimate_cg(A, dinv, iters=20)
+    lam_exact = 1.0 - np.cos(np.pi * 512 / 513.0)  # eig of D^-1 A = (1-cos)/1... scaled
+    assert abs(float(emax) - lam_exact) / lam_exact < 0.05, (
+        float(emax), lam_exact
+    )
+    assert float(emin) >= 0.0
+
+    A2 = laplacian_2d_5pt(32, 32)
+    it_cg = _amg_pcg_iters(A2, relax="chebyshev", cheby_eig_est=10)
+    it_pw = _amg_pcg_iters(A2, relax="chebyshev")
+    assert it_cg <= it_pw + 2, (it_cg, it_pw)
