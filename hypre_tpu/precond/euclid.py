@@ -86,7 +86,26 @@ class Euclid(ILU):
     sparse_a: float = 0.0     # -sparseA: relative pre-drop threshold
     row_scale: bool = False   # -rowScale
 
-    def setup(self, A: EllMatrix) -> "Euclid":
+    def setup(self, A) -> "Euclid":
+        from hypre_tpu.parallel.par_ell import ParEllMatrix
+
+        if isinstance(A, ParEllMatrix):
+            # TRUE distributed path: row-sharded operator -> distributed
+            # Chow-Patel with per-sweep external-row (factor) exchange
+            # (precond/par_ilu.py — Euclid_dh.c's cross-rank elimination,
+            # not a block-Jacobi approximation). Euclid's ILU(k) fill and
+            # the preprocessing flags apply to the local pattern only in
+            # this mode (level 0 distributed fill, like Euclid's
+            # memory-scalable default at scale).
+            from hypre_tpu.precond.par_ilu import ParILU
+
+            self._par = ParILU(
+                factor_sweeps=self.factor_sweeps,
+                solve_sweeps=self.solve_sweeps,
+            ).setup(A)
+            self._row_scale_vec = None
+            return self
+        self._par = None
         Af, scale = _preprocess(A, self.sparse_a, self.row_scale, self.bj)
         self.fill_level = self.level
         super().setup(Af)
@@ -94,6 +113,8 @@ class Euclid(ILU):
         return self
 
     def precond(self):
+        if getattr(self, "_par", None) is not None:
+            return self._par.precond()
         base = super().precond()
         scale = getattr(self, "_row_scale_vec", None)
         if scale is None:
