@@ -12,3 +12,5 @@ from hypre_tpu.precond.euclid import Euclid, PILUT
 from hypre_tpu.precond.schwarz import Schwarz
 from hypre_tpu.precond.ilu_schur import ILUSchurGMRES, ILUSchurNSH
 from hypre_tpu.precond.poly import PolyPrecond
+from hypre_tpu.precond.saddle import BlockPrecond, SaddleSystem, Uzawa
+from hypre_tpu.precond.par_ilu import ParILU

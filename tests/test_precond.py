@@ -320,3 +320,71 @@ def test_poly_precond(lap, base_iters):
     p2 = PolyPrecond(order=2).setup(lap)
     it2 = _iters(lap, p2.precond())
     assert it6 <= it2
+
+
+def _make_saddle(n=16, eps=1e-2, mass=1.0):
+    # velocity block = Laplacian + mass (the mass shift keeps lambda_min
+    # bounded, which classic Uzawa requires for its diag-based Schur
+    # scaling to be spectrally equivalent — a time-stepping Stokes block)
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt, stencil_to_ell
+    from hypre_tpu.precond.saddle import SaddleSystem
+    from hypre_tpu.seq.spgemm import ell_add, ell_transpose
+
+    L = laplacian_2d_5pt(n, n)
+    I = stencil_to_ell((n, n), [(0, 0)], [mass], dtype=L.dtype)
+    A = ell_add(1.0, L, 1.0, I) if mass else L
+    B = stencil_to_ell((n, n), [(0, 0), (1, 0)], [1.0, -1.0], dtype=L.dtype)
+    C = stencil_to_ell((n, n), [(0, 0)], [eps], dtype=L.dtype)
+    return SaddleSystem(A=A, B=B, Bt=ell_transpose(B), C=C)
+
+
+def test_uzawa_stokes_like():
+    # HYPRE_LSI_UZAWA.cxx: stationary Uzawa with AMG A11 sub-solves and a
+    # diag(A)-Schur pressure update must converge on a stabilized
+    # Stokes-like system
+    from hypre_tpu.precond.saddle import Uzawa
+
+    sys = _make_saddle()
+    f = jnp.ones(sys.n_u, sys.A.dtype)
+    g = jnp.zeros(sys.n_p, sys.A.dtype)
+    uz = Uzawa(omega=0.5, rtol=1e-7, maxiter=200).setup(sys)
+    u, p, info = uz.solve(f, g)
+    assert bool(info.converged), (int(info.iterations), float(info.relative_residual))
+    r = jnp.concatenate([f, g]) - sys.mv(jnp.concatenate([u, p]))
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(jnp.concatenate([f, g])))
+    assert rel < 1e-5, rel
+
+
+def test_block_precond_flexgmres():
+    # HYPRE_LSI_blkprec.cxx: block-triangular preconditioning inside
+    # FlexGMRES; must beat the unpreconditioned iteration count clearly
+    from hypre_tpu.krylov import flexgmres
+    from hypre_tpu.precond.saddle import BlockPrecond
+
+    sys = _make_saddle()
+    b = jnp.concatenate([
+        jnp.ones(sys.n_u, sys.A.dtype), jnp.zeros(sys.n_p, sys.A.dtype)
+    ])
+    bp = BlockPrecond(mode="triangular").setup(sys)
+    x, info = flexgmres(sys.mv, b, M=bp.precond(), rtol=1e-8, maxiter=200)
+    assert bool(info.converged)
+    _, info0 = flexgmres(sys.mv, b, rtol=1e-8, maxiter=200)
+    assert int(info.iterations) < int(info0.iterations) // 2, (
+        int(info.iterations), int(info0.iterations),
+    )
+    r = b - sys.mv(x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+
+
+def test_schur_reduce_solve():
+    # HYPRE_LSI_schur.cxx: reduced pressure-Schur PCG + velocity back-solve
+    from hypre_tpu.precond.saddle import BlockPrecond
+
+    sys = _make_saddle()
+    f = jnp.ones(sys.n_u, sys.A.dtype)
+    g = jnp.zeros(sys.n_p, sys.A.dtype)
+    bp = BlockPrecond(inner_cycles=6).setup(sys)
+    u, p, info = bp.solve_reduced(f, g, rtol=1e-8)
+    r = jnp.concatenate([f, g]) - sys.mv(jnp.concatenate([u, p]))
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(jnp.concatenate([f, g])))
+    assert rel < 1e-4, rel
