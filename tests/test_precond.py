@@ -388,3 +388,39 @@ def test_schur_reduce_solve():
     r = jnp.concatenate([f, g]) - sys.mv(jnp.concatenate([u, p]))
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(jnp.concatenate([f, g])))
     assert rel < 1e-4, rel
+
+
+def test_ic_pcg(lap, base_iters):
+    # IC(0) fixed point (HYPRE_LSI_ddict.c's IC core, here on the full
+    # pattern): must beat diagonal scaling and be SPD (PCG-hosted)
+    from hypre_tpu.precond.ic import IC
+
+    it = _iters(lap, IC().setup(lap).precond())
+    assert it < base_iters, (it, base_iters)
+
+
+def test_ic_factorization_accuracy(lap):
+    # with enough sweeps L L^T must reproduce A on A's pattern
+    from hypre_tpu.precond.ic import IC
+
+    ic = IC(factor_sweeps=30).setup(lap)
+    n = lap.n_rows
+    Ld = ell_to_csr(ic.L).to_dense() + np.diag(1.0 / np.asarray(ic.dinv))
+    prod = Ld @ Ld.T
+    Ad = ell_to_csr(lap).to_dense()
+    mask = Ad != 0
+    np.testing.assert_allclose(prod[mask], Ad[mask], atol=1e-8)
+
+
+def test_ddict_ddilut_converge(lap, base_iters):
+    from hypre_tpu.precond.ic import DDICT, DDILUT
+
+    it_ict = _iters(lap, DDICT(num_subdomains=2, overlap=3).setup(lap).precond())
+    it_ilut = _iters(
+        lap, DDILUT(num_subdomains=2, overlap=3).setup(lap).precond()
+    )
+    assert it_ict < base_iters
+    assert it_ilut < base_iters
+    # overlap must help vs none (the DD in DDICT)
+    it_no = _iters(lap, DDICT(num_subdomains=2, overlap=0).setup(lap).precond())
+    assert it_ict <= it_no
