@@ -132,6 +132,24 @@ class BoomerAMG:
                     self.hierarchy, gather_precision=self.gather_precision
                 )
 
+        if self.relax == "jacobi" and self.relax_weight < 0:
+            # hypre convention (par_amg_setup.c / par_cg_relax_wt.c):
+            # relax_weight < 0 asks for per-level CG-determined weights,
+            # |relax_weight| = number of CG sweeps; rlx_wt = 1/lambda_max
+            # of the smoother-preconditioned operator (par_cg_relax_wt.c:300)
+            import dataclasses as _dc
+
+            from hypre_tpu.amg.relax import max_eig_estimate_cg
+
+            sweeps = max(int(-self.relax_weight), 5)
+            hier = self.hierarchy
+            new_levels = []
+            for lev in hier.levels:
+                emax, _ = max_eig_estimate_cg(lev.A, lev.dinv, sweeps)
+                new_levels.append(_dc.replace(lev, rw=1.0 / emax))
+            self.hierarchy = _dc.replace(hier, levels=new_levels)
+            self.relax_weight = 1.0  # consumed; lev.rw now carries it
+
         if self.relax == "chebyshev" and self.cheby_eig_est > 0:
             # replace the power-method lambda_max with the CG/Lanczos
             # estimate (HYPRE_BoomerAMGSetChebyEigEst; par_relax_more.c's

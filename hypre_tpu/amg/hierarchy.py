@@ -49,6 +49,10 @@ class Level:
     dinv: jax.Array  # 1/diag
     l1inv: jax.Array  # 1/l1 row norms
     lmax: jax.Array  # D^{-1}A spectral bound for Chebyshev
+    # optional CG-estimated Jacobi weight (hypre_BoomerAMGCGRelaxWt,
+    # par_cg_relax_wt.c — requested by relax_weight < 0, hypre's
+    # convention); None = use the static relax_weight knob
+    rw: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -241,7 +245,13 @@ def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio
     (the hypre_BoomerAMGRelax relax_type dispatch, par_relax.c:78-160)."""
 
     if relax == "jacobi":
-        return lambda lev, u, f: jacobi(lev.A, lev.dinv, u, f, relax_weight)
+        # per-level CG-estimated weights (hypre_BoomerAMGCGRelaxWt) live
+        # in lev.rw when the hypre negative-relax-weight convention asked
+        # for them; the static knob applies otherwise
+        return lambda lev, u, f: jacobi(
+            lev.A, lev.dinv, u, f,
+            relax_weight if getattr(lev, "rw", None) is None else lev.rw,
+        )
     if relax == "l1-jacobi":
         return lambda lev, u, f: l1_jacobi(lev.A, lev.l1inv, u, f)
     if relax == "chebyshev":

@@ -378,3 +378,18 @@ def test_cheby_eig_est_cg():
     it_cg = _amg_pcg_iters(A2, relax="chebyshev", cheby_eig_est=10)
     it_pw = _amg_pcg_iters(A2, relax="chebyshev")
     assert it_cg <= it_pw + 2, (it_cg, it_pw)
+
+
+def test_cg_relax_weight_auto():
+    # par_cg_relax_wt.c: relax_weight < 0 triggers per-level CG-determined
+    # Jacobi weights (rlx_wt = 1/lambda_max); must converge at least as
+    # well as unweighted Jacobi and the weights must be sane (0, 1]
+    A = laplacian_3d_7pt(12, 12, 12)
+    it_auto = _amg_pcg_iters(A, relax="jacobi", relax_weight=-10.0)
+    it_w1 = _amg_pcg_iters(A, relax="jacobi", relax_weight=1.0)
+    assert it_auto <= it_w1 + 1, (it_auto, it_w1)
+
+    amg = BoomerAMG(relax="jacobi", relax_weight=-10.0).setup(A)
+    for lev in amg.hierarchy.levels:
+        assert lev.rw is not None
+        assert 0.0 < float(lev.rw) <= 1.2, float(lev.rw)
