@@ -67,10 +67,19 @@ def make_device_refiner(inner_solve, passes: int = 3):
     ``refine_solve`` (host f64 residuals).
 
     inner_solve(Af, hier_args..., r) -> (d, info): the traceable f32 solve.
+    A LIST of such closures runs one per pass (a tolerance schedule: the
+    first pass does the heavy reduction, later passes only polish — fewer
+    total Krylov iterations than equal-tolerance passes).
     Returns jitted refined(Af, *hier_args, b) -> (x_hi, x_lo, info).
     """
     import jax
     import jax.numpy as jnp
+
+    solvers = (
+        list(inner_solve)
+        if isinstance(inner_solve, (list, tuple))
+        else [inner_solve] * passes
+    )
 
     @jax.jit
     def refined(Af, *args_and_b):
@@ -78,9 +87,9 @@ def make_device_refiner(inner_solve, passes: int = 3):
         x_hi = jnp.zeros_like(b)
         x_lo = jnp.zeros_like(b)
         info = None
-        for _ in range(passes):
+        for solve_p in solvers:
             r = (b - Af.mv(x_hi)) - Af.mv(x_lo)
-            d, info = inner_solve(Af, *hier_args, r)
+            d, info = solve_p(Af, *hier_args, r)
             t = x_lo + d  # Fast2Sum accumulation
             hi = x_hi + t
             x_lo = t - (hi - x_hi)
