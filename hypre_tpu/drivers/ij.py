@@ -31,6 +31,7 @@ def parse_args(argv):
         max_iter=1000, coarsen="pmis", interp="ext+i", relax="chebyshev",
         theta=0.25, agg_nl=0, pmx=4, ns=1, k_dim=30, rhs="ones",
         fromfile=None, eps=1.0, two_norm=True, poutdat=0,
+        additive=-1, add_variant="additive", rlx_wt=1.0, cheby_eig_est=0,
     )
     it = iter(range(len(argv)))
     i = 0
@@ -96,6 +97,19 @@ def parse_args(argv):
             a["poutdat"] = int(take())
         elif f == "-eps":
             a["eps"] = float(take())
+        elif f == "-additive":
+            # HYPRE_BoomerAMGSetAdditive (ij.c -additive <level>)
+            a["additive"], a["add_variant"] = int(take()), "additive"
+        elif f == "-mult_add":
+            a["additive"], a["add_variant"] = int(take()), "mult"
+        elif f == "-simple":
+            a["additive"], a["add_variant"] = int(take()), "simple"
+        elif f == "-w":
+            # ij.c -w: Jacobi relax weight; negative = CG-determined
+            # (hypre_BoomerAMGCGRelaxWt)
+            a["rlx_wt"] = float(take())
+        elif f == "-cheby_eig_est":
+            a["cheby_eig_est"] = int(take())
         elif f == "-help":
             print(SOLVER_HELP)
             raise SystemExit(0)
@@ -156,6 +170,8 @@ def run(argv) -> tuple[int, float]:
             coarsen_type=a["coarsen"], interp=a["interp"], relax=a["relax"],
             strength_threshold=a["theta"], agg_num_levels=a["agg_nl"],
             p_max_elmts=a["pmx"], num_sweeps=a["ns"],
+            additive=a["additive"], additive_variant=a["add_variant"],
+            relax_weight=a["rlx_wt"], cheby_eig_est=a["cheby_eig_est"],
         ).setup(A)
         _amg_cache.append(solver)  # kept for -poutdat setup stats
         return solver

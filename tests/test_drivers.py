@@ -32,6 +32,11 @@ IJ_GOLDEN = [
     ("-solver 43 -n 12 12 1 -tol 1e-8", 15, 4.233e-09),
     ("-solver 46 -n 12 12 1 -tol 1e-8", 10, 6.252e-09),
     ("-solver 81 -n 12 12 1 -tol 1e-8", 9, 8.336e-09),
+    # additive cycle variants (ij.c -additive/-mult_add) and the
+    # CG-determined relax weight (-w negative, par_cg_relax_wt.c)
+    ("-solver 1 -n 48 48 1 -rlx 18 -additive 0 -tol 1e-8", 24, 5.409e-09),
+    ("-solver 1 -n 48 48 1 -rlx 18 -mult_add 0 -tol 1e-8", 16, 5.091e-09),
+    ("-solver 1 -n 48 48 1 -rlx 0 -w -10 -tol 1e-8", 12, 2.690e-09),
 ]
 
 STRUCT_GOLDEN = [
