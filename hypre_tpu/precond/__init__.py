@@ -15,3 +15,4 @@ from hypre_tpu.precond.poly import PolyPrecond
 from hypre_tpu.precond.saddle import BlockPrecond, SaddleSystem, Uzawa
 from hypre_tpu.precond.par_ilu import ParILU
 from hypre_tpu.precond.ic import DDICT, DDILUT, IC
+from hypre_tpu.precond.par_sails import ParSails

@@ -78,7 +78,18 @@ class ParaSails:
             pc, pv = cap_slab(pc, pv, self.pattern_cap)
         return pc
 
-    def setup(self, A: EllMatrix) -> "ParaSails":
+    def setup(self, A) -> "ParaSails":
+        from hypre_tpu.parallel.par_ell import ParEllMatrix
+
+        if isinstance(A, ParEllMatrix):
+            # TRUE distributed path: remote-row fetch + local normal
+            # equations (precond/par_sails.py — ParaSails.c/PrunedRows.c's
+            # remote-row exchange)
+            from hypre_tpu.precond.par_sails import ParSails
+
+            self._par = ParSails(thresh=self.thresh).setup(A)
+            return self
+        self._par = None
         B = ell_spgemm(A, ell_transpose(A))  # A A^T (SPD Gram matrix)
         pattern = self._pattern(A)  # (n, kp) thresholded power pattern
         sub = gather_submatrices(B, pattern)  # (n, k, k)
@@ -99,6 +110,8 @@ class ParaSails:
         return self
 
     def precond(self):
+        if getattr(self, "_par", None) is not None:
+            return self._par.precond()
         M = self.M
         assert M is not None, "call setup(A) first"
         return lambda r: ell_spmv(M, r)

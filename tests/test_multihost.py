@@ -195,3 +195,36 @@ def test_euclid_distributed_dispatch():
     bd = distribute_vector(jnp.ones(A.n_rows, A.dtype), mesh)
     _, info = pcg(lambda v: par_spmv(Ap, v), bd, M=eu.precond(), rtol=1e-6)
     assert bool(info.converged)
+
+
+def test_par_sails_matches_sequential():
+    # distributed ParaSails (precond/par_sails.py): level-0-pattern SAI
+    # rows solved from halo-fetched remote rows must match the sequential
+    # normal-equations version and give PCG iteration parity
+    import jax.numpy as jnp
+
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.precond import ParaSails
+    from hypre_tpu.precond.par_sails import ParSails
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+    from hypre_tpu.parallel.par_ell import collect_vector, distribute_vector
+
+    A = laplacian_2d_5pt(24, 24)
+    n = A.n_rows
+    mesh = flat_row_mesh()
+    Ap = partition_ell(A, mesh)
+
+    seq = ParaSails().setup(A)
+    par = ParSails().setup(Ap)
+    r = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    z_seq = np.asarray(seq.precond()(jnp.asarray(r, A.dtype)))
+    z_par = collect_vector(
+        par.precond()(distribute_vector(jnp.asarray(r, A.dtype), mesh)), n
+    )
+    np.testing.assert_allclose(z_par, z_seq, rtol=1e-3, atol=1e-4)
+
+    b = jnp.ones(n, A.dtype)
+    _, i_seq = pcg(lambda v: A.mv(v), b, M=seq.precond(), rtol=1e-8)
+    bd = distribute_vector(b, mesh)
+    _, i_par = pcg(lambda v: par_spmv(Ap, v), bd, M=par.precond(), rtol=1e-8)
+    assert abs(int(i_par.iterations) - int(i_seq.iterations)) <= 1
