@@ -54,6 +54,10 @@ def parse_args(argv):
             a["problem"] = "27pt"
         elif f == "-difconv":
             a["problem"] = "difconv"
+        elif f == "-vardifconv":
+            a["problem"] = "vardifconv"
+        elif f == "-rotate":
+            a["problem"] = "rotate"
         elif f == "-fromfile":
             a["problem"], a["fromfile"] = "fromfile", take()
         elif f in ("-pmis", "-pmis1"):
@@ -123,7 +127,7 @@ def build_problem(a):
     from hypre_tpu.io import read_any_matrix
     from hypre_tpu.problems.laplacian import (
         difconv_3d_7pt, laplacian_2d_5pt, laplacian_2d_9pt, laplacian_3d_7pt,
-        laplacian_3d_27pt,
+        laplacian_3d_27pt, rotated_anisotropy_2d, vardifconv_3d,
     )
     from hypre_tpu.seq.ell import csr_to_ell
 
@@ -136,6 +140,10 @@ def build_problem(a):
         return laplacian_3d_27pt(nx, ny, max(nz, 2))
     if a["problem"] == "difconv":
         return difconv_3d_7pt(nx, ny, max(nz, 2), eps=a["eps"])
+    if a["problem"] == "vardifconv":
+        return vardifconv_3d(nx, ny, max(nz, 2), eps=a["eps"])
+    if a["problem"] == "rotate":
+        return rotated_anisotropy_2d(nx, ny, eps=a["eps"])
     if nz <= 1:
         return laplacian_2d_5pt(nx, ny)
     return laplacian_3d_7pt(nx, ny, nz)

@@ -95,8 +95,48 @@ def _return_add(local, tail, send_idx0, offsets, sizes, nshards, combine):
     return local.at[dst].max(back)
 
 
-def par_split_phase(A: ParEllMatrix, theta: float, s_cap: int):
+def hmis_interior_seeds(A: ParEllMatrix, theta: float) -> jax.Array:
+    """Per-shard Ruge-Stuben first pass on the processor-INTERIOR graph
+    (the diag block only — off-shard couplings ignored), returning the C
+    seeds for the boundary PMIS pass. This is exactly hypre's HMIS
+    structure (De Sterck/Yang/Heys; ``par_coarsen.c:2846``): serial
+    one-pass RS per rank, then PMIS over the remaining/boundary points
+    with those C points fixed. Host-side like hypre's (HMIS has no device
+    path in the reference either — ``par_coarsen_device.c`` is PMIS-only).
+    """
+    from hypre_tpu import native
+
+    dv = np.asarray(A.diag_vals)
+    dc = np.asarray(A.diag_cols)
+    nshards = A.num_shards
+    n_l = dv.shape[0] // nshards
+    seeds = np.zeros(dv.shape[0], np.int32)
+    for p in range(nshards):
+        blk_v = dv[p * n_l : (p + 1) * n_l]
+        blk_c = dc[p * n_l : (p + 1) * n_l]
+        valid = blk_c >= 0
+        counts = valid.sum(axis=1).astype(np.int32)
+        Ap = np.zeros(n_l + 1, np.int32)
+        np.cumsum(counts, out=Ap[1:])
+        Aj = blk_c[valid].astype(np.int32)
+        Ax = blk_v[valid].astype(np.float64)
+        S = native.strength(n_l, Ap, Aj, Ax, float(theta))
+        cf = native.rs(n_l, Ap, Aj, S)
+        seeds[p * n_l : (p + 1) * n_l] = (np.asarray(cf) == 1).astype(
+            np.int32
+        )
+    return jax.device_put(
+        jnp.asarray(seeds), NamedSharding(A.mesh, P(ROW_AXIS))
+    )
+
+
+def par_split_phase(A: ParEllMatrix, theta: float, s_cap: int,
+                    seed_c=None):
     """strength + boundary-correct PMIS + global coarse numbering.
+
+    ``seed_c`` (sharded int32, 1 = C) fixes initial C points before the
+    PMIS rounds — the HMIS composition (interior RS seeds from
+    ``hmis_interior_seeds`` + boundary PMIS).
 
     Returns sharded (scols_ext, svals, cf, cmap_global) and the replicated
     coarse count. cmap_global[i] = global coarse index of local row i if C
@@ -107,8 +147,11 @@ def par_split_phase(A: ParEllMatrix, theta: float, s_cap: int):
     n_cl = A.n_col_local
     M = int(A.send_idx.shape[1])
     kcap = min(s_cap, A.diag_vals.shape[1] + A.offd_vals.shape[1])
+    seeded = seed_c is not None
+    if not seeded:
+        seed_c = jnp.zeros(A.diag_vals.shape[0], jnp.int32)
 
-    def body(dvals, dcols, ovals, ocols, send_idx):
+    def body(dvals, dcols, ovals, ocols, send_idx, seed):
         send0 = send_idx[0]
         vals, cols = _ext_matrix(dvals, dcols, ovals, ocols, n_cl)
         n_l = vals.shape[0]
@@ -150,6 +193,16 @@ def par_split_phase(A: ParEllMatrix, theta: float, s_cap: int):
         has_strong_row = jnp.any(S, axis=1)
         isolated = ~has_strong_row & (st == 0)
         cf0 = jnp.where(isolated, F_PT, 0).astype(jnp.int32)
+        if seeded:
+            # HMIS: interior-RS C points enter fixed, and their strong
+            # dependents are marked F BEFORE the first independent-set
+            # round (hypre marks dependents of initial C points first)
+            cf0 = jnp.where(seed == 1, C_PT, cf0)
+            cf0_ext = jnp.concatenate(
+                [cf0, _fetch(cf0, send0, offsets, sizes, nshards)]
+            )
+            dep0 = jnp.any(S & (cf0_ext[scols_c] == C_PT), axis=1)
+            cf0 = jnp.where((cf0 == 0) & dep0, F_PT, cf0)
 
         def cond(state):
             _, _, go = state
@@ -213,9 +266,10 @@ def par_split_phase(A: ParEllMatrix, theta: float, s_cap: int):
     out = _shard_map(
         body,
         mesh=A.mesh,
-        in_specs=(spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec, P()),
-    )(A.diag_vals, A.diag_cols, A.offd_vals, A.offd_cols, A.send_idx)
+    )(A.diag_vals, A.diag_cols, A.offd_vals, A.offd_cols, A.send_idx,
+      seed_c)
     return out
 
 
@@ -500,8 +554,14 @@ def setup_hierarchy_par(
     trunc_factor: float = 0.0,
     coarsen_rtol: float = 0.9,
     s_cap: int = 12,
+    coarsen: str = "pmis",
 ) -> AMGHierarchy:
     """Distributed hypre_BoomerAMGSetup on an already-sharded operator.
+
+    coarsen: 'pmis' (boundary-correct distributed PMIS — the same scope
+    as hypre's device coarsening, ``par_coarsen_device.c``) or 'hmis'
+    (per-shard interior Ruge-Stuben first pass + boundary PMIS over the
+    seeds, ``par_coarsen.c:2846``).
 
     Every level's operators (A, P, Pt) come out as ParEllMatrix over the
     same mesh, so the existing amg_cycle/smoother machinery runs the solve
@@ -513,9 +573,15 @@ def setup_hierarchy_par(
     A_cur = A
 
     while len(levels) < max_levels - 1 and A_cur.n_rows > max_coarse_size:
+        seeds = (
+            hmis_interior_seeds(A_cur, strength_threshold)
+            if coarsen == "hmis"
+            else None
+        )
         scols, svals, cf, cmap, n_c = jax.jit(
             par_split_phase, static_argnames=("s_cap",)
-        )(A_cur, jnp.asarray(strength_threshold, A_cur.dtype), s_cap=s_cap)
+        )(A_cur, jnp.asarray(strength_threshold, A_cur.dtype), s_cap=s_cap,
+          seed_c=seeds)
         n_coarse = int(n_c)
         if n_coarse == 0 or n_coarse >= coarsen_rtol * A_cur.n_rows:
             break

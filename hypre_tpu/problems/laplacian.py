@@ -237,3 +237,63 @@ def elasticity_2d(nx: int, ny: int, lam: float = 1.0, mu: float = 1.0,
         np.asarray(rows), np.asarray(cols), np.asarray(vals, dtype), (n, n)
     )
     return csr_to_ell(csr, dtype=dtype)
+
+
+def _vdc_jump(x, y, z):
+    """par_vardifconv.c's a/b/cfun: 0.01 in the eight corner cubes, 1000
+    in the interior cube [0.1,0.9]^3, 1.0 in the remaining shell."""
+    lo, hi = 0.1, 0.9
+    corner = (
+        ((x < lo) | (x > hi)) & ((y < lo) | (y > hi)) & ((z < lo) | (z > hi))
+    )
+    interior = (
+        (x >= lo) & (x <= hi) & (y >= lo) & (y <= hi) & (z >= lo) & (z <= hi)
+    )
+    return jnp.where(corner, 0.01, jnp.where(interior, 1000.0, 1.0))
+
+
+def vardifconv_3d(nx: int, ny: int, nz: int, eps: float = 1.0,
+                  dtype=None) -> EllMatrix:
+    """Variable (jump-coefficient) diffusion problem — the ``-vardifconv``
+    generator (``parcsr_ls/par_vardifconv.c``): -eps div(a(x) grad u) on
+    the unit cube, face coefficients evaluated at face midpoints
+    (``par_vardifconv.c:215-220``), Dirichlet truncation at the box. The
+    default d/e/f/g convection/reaction functions are zero in the
+    reference, so the operator is SPD with 5 orders of coefficient jump.
+    Assembly is device-side index arithmetic like the other generators.
+    """
+    dtype = dtype or default_real_dtype()
+    n = nx * ny * nz
+    shape = (nx, ny, nz)
+    strides = (ny * nz, nz, 1)
+    hh = (1.0 / (nx + 1), 1.0 / (ny + 1), 1.0 / (nz + 1))
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    coords = [(rows // strides[d]) % shape[d] for d in range(3)]
+    xyz = [(coords[d] + 1.0) * hh[d] for d in range(3)]
+
+    vals_list, cols_list = [], []
+    center = jnp.zeros(n, dtype)
+    shifts = []
+    for d in range(3):
+        for sgn in (-1, 1):
+            mid = list(xyz)
+            mid[d] = xyz[d] + 0.5 * sgn * hh[d]
+            cf = (eps * _vdc_jump(*mid) / hh[d] / hh[d]).astype(dtype)
+            center = center + cf
+            inside = (
+                (coords[d] + sgn >= 0) & (coords[d] + sgn < shape[d])
+            )
+            shift = sgn * strides[d]
+            shifts.append(shift)
+            cols_list.append(jnp.where(inside, rows + shift, -1))
+            vals_list.append(jnp.where(inside, -cf, 0))
+    cols_list.insert(0, rows)
+    vals_list.insert(0, center)
+    shifts.insert(0, 0)
+    return EllMatrix(
+        vals=jnp.stack(vals_list, axis=1),
+        cols=jnp.stack(cols_list, axis=1).astype(jnp.int32),
+        n_cols=n,
+        shifts=tuple(shifts),
+    )

@@ -37,6 +37,10 @@ IJ_GOLDEN = [
     ("-solver 1 -n 48 48 1 -rlx 18 -additive 0 -tol 1e-8", 24, 5.409e-09),
     ("-solver 1 -n 48 48 1 -rlx 18 -mult_add 0 -tol 1e-8", 16, 5.091e-09),
     ("-solver 1 -n 48 48 1 -rlx 0 -w -10 -tol 1e-8", 12, 2.690e-09),
+    # problem generators: jump-coefficient diffusion (par_vardifconv.c)
+    # and rotated anisotropy (par_rotate_7pt.c)
+    ("-solver 1 -n 16 16 16 -vardifconv -rlx 18 -tol 1e-8", 13, 2.618e-09),
+    ("-solver 1 -n 48 48 1 -rotate -eps 0.01 -tol 1e-8", 6, 3.705e-09),
 ]
 
 STRUCT_GOLDEN = [

@@ -150,3 +150,39 @@ def test_par_hierarchy_large_grid_parity():
         rtol=1e-8, maxiter=60,
     )
     assert int(info.iterations) == int(info2.iterations)
+
+
+def test_distributed_hmis_hierarchy():
+    # HMIS composition (par_coarsen.c:2846): per-shard interior RS first
+    # pass + boundary PMIS. CF splitting must be valid (every non-isolated
+    # F strongly depends on a C) and the hierarchy must converge in the
+    # PMIS class.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypre_tpu.amg.hierarchy import amg_cycle
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.parallel import partition_ell
+    from hypre_tpu.parallel.mesh import make_mesh
+    from hypre_tpu.parallel.par_ell import distribute_vector, par_spmv
+    from hypre_tpu.parallel.par_setup import setup_hierarchy_par
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+
+    A = laplacian_2d_5pt(24, 24)
+    mesh = make_mesh()
+    Ap = partition_ell(A, mesh)
+    hier = setup_hierarchy_par(Ap, max_coarse_size=32, coarsen="hmis")
+    hier_p = setup_hierarchy_par(Ap, max_coarse_size=32, coarsen="pmis")
+
+    b = distribute_vector(jnp.ones(A.n_rows, A.dtype), mesh)
+    def run(h):
+        M = lambda r: amg_cycle(h, r)
+        _, info = pcg(lambda v: par_spmv(Ap, v), b, M=M, rtol=1e-8)
+        assert bool(info.converged)
+        return int(info.iterations)
+
+    it_h, it_p = run(hier), run(hier_p)
+    assert abs(it_h - it_p) <= 3, (it_h, it_p)
+    # HMIS's interior-RS seeding typically coarsens less aggressively than
+    # plain PMIS; both hierarchies must actually coarsen
+    assert hier.levels[0].P.n_cols < A.n_rows
