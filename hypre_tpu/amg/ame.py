@@ -106,13 +106,27 @@ class AME:
                    rtol=self.proj_rtol, maxiter=100)
         return x - ell_spmv(G, y)
 
-    def solve(self, seed: int = 0):
-        """Returns (eigenvalues, eigenvectors, residual norms)."""
+    def solve(self, seed: int = 0, host_f64: Optional[bool] = None):
+        """Returns (eigenvalues, eigenvectors, residual norms).
+
+        host_f64 (default: on when the operator dtype is f32): run the
+        LOBPCG outer iteration on host in float64 — matvecs through the
+        native CSR kernel, Rayleigh-Ritz in f64 — while the AMS
+        preconditioner stays the device f32 cycle (a preconditioner's
+        precision does not limit the attainable eigen-accuracy). This is
+        the f32-robust path: in pure f32 the penalized operator's
+        conditioning degrades the device Rayleigh-Ritz basis before tight
+        tolerances are reached (hypre's AME also assumes f64 arithmetic).
+        """
         A, G, m = self._A, self._G, self.block_size
         Ap = self._Ap
-        op = block_op(lambda v: ell_spmv(Ap, v))
+        if host_f64 is None:
+            host_f64 = jnp.dtype(A.dtype) == jnp.float32
         Msingle = self.ams.precond()
         proj = self._project
+        if host_f64:
+            return self._solve_host_f64(seed, Msingle)
+        op = block_op(lambda v: ell_spmv(Ap, v))
 
         def columns(f, V):
             # NOTE: plain per-column loop — the fast-format pallas kernels
@@ -127,3 +141,102 @@ class AME:
         lam, X, rn = lobpcg(op, X0, T=T, tol=self.tol, maxiter=self.maxiter)
         X = columns(proj, X)  # final gradient cleanup
         return lam, X, rn
+
+    def _solve_host_f64(self, seed: int, Msingle):
+        """Host-f64 LOBPCG outer loop (see solve); device applies the f32
+        AMS cycle per column."""
+        from hypre_tpu import native
+        from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays
+
+        m = self.block_size
+        n, Hp, Hj, Hx = _ell_to_csr_arrays(self._Ap)
+        _, Gp, Gj, Gx = _ell_to_csr_arrays(self._G)
+        nG = self._G.n_cols
+        Tp, Tj, Tx = native.transpose(n, nG, Gp, Gj, Gx)
+
+        def mv(V):  # (n, k) f64
+            return np.stack(
+                [native.matvec(n, Hp, Hj, Hx, V[:, j]) for j in
+                 range(V.shape[1])], axis=1,
+            )
+
+        def prec(V):
+            cols = []
+            for j in range(V.shape[1]):
+                v32 = jnp.asarray(V[:, j], self._Ap.dtype)
+                cols.append(np.asarray(Msingle(v32), np.float64))
+            return np.stack(cols, axis=1)
+
+        gtg_amg = self._gtg_amg
+        dt32 = self._Ap.dtype
+
+        def project(V):
+            # exact f64 gradient removal: V - G (G^T G)^+ G^T V by PCG,
+            # preconditioned with the device f32 nodal AMG cycle (the f64
+            # host CG supplies the accuracy, the cycle the speed)
+            out = np.empty_like(V)
+            for j in range(V.shape[1]):
+                rhs = native.matvec(nG, Tp, Tj, Tx, V[:, j])
+                y = np.zeros(nG)
+                r = rhs.copy()
+                z = np.asarray(gtg_amg.cycle(jnp.asarray(r, dt32)),
+                               np.float64)
+                p = z.copy()
+                rz = r @ z
+                for _ in range(60):
+                    Apv = native.matvec(nG, Tp, Tj, Tx,
+                                        native.matvec(n, Gp, Gj, Gx, p))
+                    Apv = Apv + 1e-12 * p
+                    alpha = rz / max(p @ Apv, 1e-300)
+                    y += alpha * p
+                    r -= alpha * Apv
+                    if r @ r < 1e-24 * max(rhs @ rhs, 1e-300):
+                        break
+                    z = np.asarray(gtg_amg.cycle(jnp.asarray(r, dt32)),
+                                   np.float64)
+                    rz_new = r @ z
+                    p = z + (rz_new / rz) * p
+                    rz = rz_new
+                out[:, j] = V[:, j] - native.matvec(n, Gp, Gj, Gx, y)
+            return out
+
+        rng = np.random.default_rng(seed)
+        X = project(rng.standard_normal((n, m)))
+        X, _ = np.linalg.qr(X)
+        lam = None
+        P = np.zeros((n, m))
+
+        def rr(S):
+            AS = mv(S)
+            Gm = S.T @ AS
+            Mb = S.T @ S
+            w, Q = np.linalg.eigh(Mb)
+            keep = w > (w.max() * 1e-12)
+            W = Q[:, keep] / np.sqrt(w[keep])
+            theta, Y = np.linalg.eigh(W.T @ ((Gm + Gm.T) * 0.5) @ W)
+            return theta, W @ Y
+
+        theta, C = rr(X)
+        X = X @ C[:, :m]
+        lam = theta[:m]
+        rn = None
+        for _ in range(self.maxiter):
+            R = mv(X) - X * lam[None, :]
+            rn = np.linalg.norm(R, axis=0)
+            if np.all(rn <= self.tol * np.maximum(np.abs(lam), 1.0)):
+                break
+            Wv = project(prec(R))
+            S = np.concatenate([X, Wv, P], axis=1)
+            theta, C = rr(S)
+            Cm = C[:, :m]
+            X_new = S @ Cm
+            Cp = Cm.copy()
+            Cp[:m, :] = 0.0
+            P = S @ Cp
+            pn = np.linalg.norm(P, axis=0)
+            P = P / np.where(pn > 0, pn, 1.0)[None, :]
+            X, lam = X_new, theta[:m]
+        X = project(X)
+        return (
+            jnp.asarray(lam), jnp.asarray(X, self._A.dtype), jnp.asarray(rn)
+        )

@@ -139,3 +139,39 @@ def test_error_flag_system():
     assert E.check_error(E.get_error(), E.HYPRE_ERROR_CONV)
     assert "did not converge" in E.describe_error(E.get_error())
     E.clear_all_errors()
+
+
+@pytest.mark.slow
+def test_ame_f32_host_path():
+    # f32 robustness: the host-f64 LOBPCG outer loop (device f32 AMS
+    # preconditioning) must recover the same divergence-free eigenvalues
+    # the x64 oracle gives, from an f32 operator
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_mgr_ams import _curl_curl_2d
+
+    import dataclasses as dc
+
+    from hypre_tpu.amg.ame import AME
+    from hypre_tpu.seq.ell import EllMatrix, ell_to_csr
+
+    beta = 0.05
+    A, G, coords = _curl_curl_2d(6, 6, beta=beta)
+    A32 = EllMatrix(vals=A.vals.astype(jnp.float32), cols=A.cols,
+                    n_cols=A.n_cols)
+    G32 = EllMatrix(vals=G.vals.astype(jnp.float32), cols=G.cols,
+                    n_cols=G.n_cols)
+    ame = AME(block_size=2, tol=3e-4, maxiter=30).setup(A32, G32, coords)
+    lam, X, rn = ame.solve(seed=3)  # host_f64 auto-on for f32
+
+    Ad = ell_to_csr(A).to_dense()
+    Gd = ell_to_csr(G).to_dense()
+    U, sv, _ = np.linalg.svd(Gd, full_matrices=False)
+    Q = U[:, sv > 1e-10 * sv.max()]
+    P = np.eye(Ad.shape[0]) - Q @ Q.T
+    wd = np.linalg.eigvalsh(P @ Ad @ P)
+    want = np.sort(wd[wd > beta * 1.5])[:2]
+    got = np.sort(np.asarray(lam, np.float64))
+    # f32 operator entries limit agreement to ~1e-3 relative
+    np.testing.assert_allclose(got, want, rtol=2e-3)
