@@ -11,10 +11,15 @@ Plane solves:
 - 2-D grids (cdir=1): each plane is a line along axis 0 → batched exact
   tridiagonal PCR solves over all lines of one parity at once;
 - 3-D grids (cdir=2): each plane is a 2-D problem; hypre solves it with one
-  recursive 2-D SMG V-cycle (``smg_relax.c``). v1 approximates that plane
-  solve with nested zebra *line* relaxation inside the plane (alternating
-  exact tridiagonal line solves in x) — the classic alternating-line smoother;
-  the recursive batched-2-D-SMG plane solve is a planned upgrade.
+  recursive 2-D SMG V-cycle (``smg_relax.c``). The TPU formulation batches
+  that recursion over ALL same-parity planes at once: the within-plane
+  operator (stencil entries with zero cdir-offset) is block-diagonal over
+  planes, so a 2-D SMG hierarchy built on it — in-plane semicoarsening +
+  zebra line relaxation, down to an exact batched tridiagonal base solve —
+  is one set of fused full-grid stencil/PCR programs, not a loop over
+  planes (``plane_relax='smg'``, the default). ``plane_relax='lines'``
+  keeps the cheaper alternating-line approximation (and is the automatic
+  fallback for ndim > 3, which hypre does not support at all).
 
 Interpolation weights are the operator-collapsed semicoarsening weights
 (shared ``semi.py``); hypre's SMG derives its weights from local plane
@@ -98,6 +103,133 @@ def _plane_parity_mask(shape, cdir: int, parity: int) -> np.ndarray:
     return (idx % 2) == parity
 
 
+def _inplane_operator(A: StructMatrix, cdir: int) -> StructMatrix:
+    """The within-plane part of A: stencil entries with zero cdir-offset.
+    Block-diagonal over the planes perpendicular to cdir — the matrix each
+    zebra plane solve inverts (hypre smg_relax.c's residual splitting)."""
+    keep = [s for s, off in enumerate(A.stencil.offsets) if off[cdir] == 0]
+    from hypre_tpu.struct.stencil import StructStencil
+
+    return StructMatrix(
+        coeffs=A.coeffs[jnp.asarray(keep)],
+        stencil=StructStencil(tuple(A.stencil.offsets[s] for s in keep)),
+        shape=A.shape,
+        periodic=A.periodic,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneLevel:
+    T: StructMatrix  # batched within-plane operator at this in-plane level
+    P: Optional[SemiInterp]  # in-plane semicoarsening interp (None at base)
+    even: Optional[jax.Array]  # in-plane zebra line masks (None at base)
+    odd: Optional[jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneSMG:
+    """Batched recursive 2-D SMG over all planes perpendicular to cdir.
+
+    hypre solves each plane with its own 2-D SMG instance (smg_relax.c
+    SetupTempGrid + recursive hypre_SMGSetup); here one hierarchy holds
+    every plane — the cdir axis rides along as a batch dimension through
+    the stencil/PCR kernels, whose shifts never touch it (all offsets are
+    zero in cdir by construction).
+    """
+
+    levels: List[PlaneLevel]
+    line_axis: int = dataclasses.field(metadata=dict(static=True))
+    exact_base: bool = dataclasses.field(metadata=dict(static=True))
+
+
+def build_plane_smg(A: StructMatrix, cdir: int, max_levels: int = 25) -> PlaneSMG:
+    inplane = [d for d in range(A.ndim) if d != cdir]
+    assert len(inplane) == 2, "plane SMG is the 3-D path"
+    line_axis, coarse_axis = inplane[0], inplane[1]
+    T = _inplane_operator(A, cdir)
+    levels: List[PlaneLevel] = []
+    while len(levels) < max_levels - 1 and T.shape[coarse_axis] > 1:
+        if T.periodic and T.periodic[coarse_axis] and T.shape[coarse_axis] % 2:
+            break  # odd periodic dim: stop; base falls back to line sweeps
+        P = semi_interp_from_matrix(T, coarse_axis)
+        cshape = coarse_shape(T.shape, coarse_axis)
+        ext = tuple(
+            0
+            if d == cdir
+            else (1 if d == coarse_axis else T.stencil.extent[d])
+            for d in range(T.ndim)
+        )
+        Tc = probe_stencil(
+            lambda xc: P.apply_t(struct_matvec(T, P.apply(xc))),
+            cshape,
+            ext,
+            T.dtype,
+            periodic=T.periodic,
+        )
+        levels.append(
+            PlaneLevel(
+                T=T,
+                P=P,
+                even=jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 0)),
+                odd=jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 1)),
+            )
+        )
+        T = Tc
+    exact = T.shape[coarse_axis] == 1
+    levels.append(
+        PlaneLevel(
+            T=T,
+            P=None,
+            even=None
+            if exact
+            else jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 0)),
+            odd=None
+            if exact
+            else jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 1)),
+        )
+    )
+    return PlaneSMG(levels=levels, line_axis=line_axis, exact_base=exact)
+
+
+def _zebra_line_scan(T: StructMatrix, u, f, la: int, masks) -> jax.Array:
+    """Colored line half-sweeps via lax.scan over the stacked masks: the
+    line-solve+PCR body is traced ONCE, not once per color — XLA compile
+    time of the (deeply nested) SMG programs scales with traced size."""
+
+    def body(u, m):
+        return _line_solve_update(T, u, f, la, m), None
+
+    u, _ = jax.lax.scan(body, u, jnp.stack(masks))
+    return u
+
+
+def plane_smg_vcycle(ps: PlaneSMG, f: jax.Array, u: jax.Array) -> jax.Array:
+    """One batched 2-D SMG V-cycle on the within-plane systems T u = f
+    (every plane at once; the caller masks which planes' updates to keep)."""
+    la = ps.line_axis
+
+    def descend(lvl: int, f, u):
+        lev = ps.levels[lvl]
+        if lev.P is None:
+            if ps.exact_base:
+                # coarsened axis has size 1: T is exactly tridiagonal along
+                # the line axis -> one PCR solve is the exact plane solve
+                return _line_solve_update(lev.T, u, f, la, True)
+            return _zebra_line_scan(
+                lev.T, u, f, la, (lev.even, lev.odd, lev.odd, lev.even)
+            )
+        u = _zebra_line_scan(lev.T, u, f, la, (lev.even, lev.odd))
+        r = f - struct_matvec(lev.T, u)
+        rc = lev.P.apply_t(r)
+        ec = descend(lvl + 1, rc, jnp.zeros_like(rc))
+        u = u + lev.P.apply(ec)
+        return _zebra_line_scan(lev.T, u, f, la, (lev.odd, lev.even))
+
+    return descend(0, f, u)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SMGLevel:
@@ -105,6 +237,7 @@ class SMGLevel:
     P: Optional[SemiInterp]
     even: jax.Array  # plane-parity masks for zebra relaxation
     odd: jax.Array
+    plane: Optional[PlaneSMG] = None  # 3-D true plane solver (plane_relax='smg')
 
 
 @jax.tree_util.register_dataclass
@@ -123,6 +256,10 @@ class SMG:
     max_coarse_size: int = 32
     num_pre_relax: int = 1
     num_post_relax: int = 1
+    # 3-D zebra plane solves: 'smg' = hypre's recursive 2-D SMG per plane
+    # (batched over planes, smg_relax.c), 'lines' = alternating-line
+    # approximation (cheaper cycles, weaker on strong in-plane coupling)
+    plane_relax: str = "smg"
 
     hierarchy: Optional[SMGHierarchy] = dataclasses.field(default=None, repr=False)
 
@@ -153,12 +290,18 @@ class SMG:
                 A.dtype,
                 periodic=A.periodic,
             )
+            plane = (
+                build_plane_smg(A, cdir)
+                if A.ndim == 3 and self.plane_relax == "smg"
+                else None
+            )
             levels.append(
                 SMGLevel(
                     A=A,
                     P=P,
                     even=jnp.asarray(_plane_parity_mask(A.shape, cdir, 0)),
                     odd=jnp.asarray(_plane_parity_mask(A.shape, cdir, 1)),
+                    plane=plane,
                 )
             )
             A = Ac
@@ -179,16 +322,38 @@ class SMG:
                 from hypre_tpu.struct.cycred import cyclic_reduction_solve
 
                 return cyclic_reduction_solve(A, f)
-            for mask in (lev.even, lev.odd):
-                if A.ndim == 2:
-                    # plane = exact line solve along axis 0
-                    u = _line_solve_update(A, u, f, 1 - cdir, mask)
-                else:
-                    # 3-D: approximate each plane solve with alternating
-                    # in-plane line relaxation (see module docstring)
-                    axes = [d for d in range(A.ndim) if d != cdir]
+            if A.ndim == 2:
+                # plane = exact line solve along axis 0
+                u = _zebra_line_scan(A, u, f, 1 - cdir, (lev.even, lev.odd))
+            elif lev.plane is not None:
+                # true plane solve: rhs freezes the off-plane coupling,
+                # one batched 2-D SMG V-cycle inverts T per plane, and the
+                # zebra mask keeps this parity's planes only. lax.scan over
+                # the parities traces the (large) plane-V-cycle body once.
+                T0 = lev.plane.levels[0].T
+
+                def parity_body(u, mask):
+                    rhs = f - struct_matvec(A, u) + struct_matvec(T0, u)
+                    u_new = plane_smg_vcycle(lev.plane, rhs, u)
+                    return jnp.where(mask, u_new, u), None
+
+                u, _ = jax.lax.scan(
+                    parity_body, u, jnp.stack((lev.even, lev.odd))
+                )
+            else:
+                # approximate each plane solve with alternating in-plane
+                # line relaxation (plane_relax='lines', and the ndim>3
+                # path — beyond hypre's 3-D support)
+                axes = [d for d in range(A.ndim) if d != cdir]
+
+                def lines_body(u, mask):
                     for la in axes:
                         u = _line_solve_update(A, u, f, la, mask)
+                    return u, None
+
+                u, _ = jax.lax.scan(
+                    lines_body, u, jnp.stack((lev.even, lev.odd))
+                )
         return u
 
     def cycle(self, f: jax.Array, u: Optional[jax.Array] = None) -> jax.Array:

@@ -205,6 +205,16 @@ def test_smg_anisotropic():
     _solve_check(SMG().setup(A), A, (24, 24), max_expected=12)
 
 
+@pytest.mark.slow
+def test_smg_3d_plane_solve_strong_inplane_coupling():
+    """Strong x-y coupling, weak z: zebra plane relaxation must actually
+    invert the in-plane operator (hypre's recursive 2-D SMG per plane,
+    smg_relax.c) — the alternating-line approximation stalls here
+    (measured: 4 iters vs no convergence in 60)."""
+    A = struct_laplacian((16, 16, 16), weights=(1.0, 1.0, 0.001))
+    _solve_check(SMG().setup(A), A, (16, 16, 16), max_expected=6)
+
+
 def test_struct_jacobi():
     A = struct_laplacian((8, 8))
     info = _solve_check(StructJacobi().setup(A), A, (8, 8), rtol=1e-5)
