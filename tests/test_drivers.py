@@ -83,6 +83,15 @@ def test_struct_driver_golden(flags, iters, rel):
     assert got_rel <= rel * 1.2 + 1e-16
 
 
+@pytest.mark.slow
+def test_struct_driver_smg_3d_plane_solve_golden():
+    """3-D SMG (-solver 10) with the true recursive plane solves —
+    compile-heavy (nested plane-SMG program), so slow tier."""
+    got_it, got_rel = _run(struct_driver, "-solver 10 -n 12 12 12 -tol 1e-8")
+    assert got_it == 6, f"iterations {got_it} != golden 6"
+    assert got_rel <= 3.442e-09 * 1.2 + 1e-16
+
+
 def test_ij_driver_help_lists_solvers():
     with pytest.raises(SystemExit):
         ij_driver.run(["-help"])
