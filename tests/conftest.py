@@ -16,3 +16,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite is compile-dominated on this
+# 1-CPU host (a cold full fast-tier run is ~50 min, nearly all of it XLA).
+# Cache entries are keyed by HLO fingerprint, so edits invalidate exactly
+# the programs they change; warm reruns skip the rest.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
