@@ -186,3 +186,45 @@ def test_distributed_hmis_hierarchy():
     # HMIS's interior-RS seeding typically coarsens less aggressively than
     # plain PMIS; both hierarchies must actually coarsen
     assert hier.levels[0].P.n_cols < A.n_rows
+
+
+def test_par_hierarchy_distributed_gmres_iteration_parity():
+    """Distributed AMG-GMRES on a nonsymmetric convection-diffusion
+    operator (par_difconv.c analogue): the Krylov layer is matrix-free, so
+    the sharded path is par_spmv + XLA-inserted psum reductions; iteration
+    count must match the single-device hierarchy's."""
+    import dataclasses
+
+    from hypre_tpu.krylov import gmres
+    from hypre_tpu.problems.laplacian import difconv_3d_7pt
+
+    n = 12
+    A = difconv_3d_7pt(n, n, n, cx=8.0, cy=4.0)
+    mesh = make_mesh(8)
+    Apar = partition_ell(A, mesh)
+    hier = setup_hierarchy_par(Apar, max_coarse_size=64)
+    smoother = make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    b_host = np.random.default_rng(1).standard_normal(A.n_rows)
+    b = distribute_vector(b_host, mesh, A.n_rows)
+
+    x, info = gmres(
+        lambda v: par_spmv(hier.levels[0].A, v), b,
+        M=lambda r: amg_cycle(hier, r, smoother=smoother),
+        rtol=1e-8, maxiter=60,
+    )
+    xg = collect_vector(x, A.n_rows)
+    r = b_host - np.asarray(ell_spmv(A, jnp.asarray(xg, A.dtype)))
+    rel = float(np.linalg.norm(r) / np.linalg.norm(b_host))
+    assert bool(info.converged)
+    assert rel < 1e-6
+
+    hier_ref = setup_hierarchy_device(
+        dataclasses.replace(A, shifts=None), max_coarse_size=64
+    )
+    x2, info2 = gmres(
+        lambda v: ell_spmv(hier_ref.levels[0].A, v),
+        jnp.asarray(b_host, A.dtype),
+        M=lambda r: amg_cycle(hier_ref, r, smoother=smoother),
+        rtol=1e-8, maxiter=60,
+    )
+    assert int(info.iterations) == int(info2.iterations)
