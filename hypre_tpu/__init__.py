@@ -32,4 +32,66 @@ from hypre_tpu.problems.laplacian import (
     laplacian_3d_27pt,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Umbrella API (hypre's HYPRE.h / HYPRE_*_ls.h single-include surface,
+# layer 17 of SURVEY.md): every solver family reachable from the package
+# root. Lazy (PEP 562) so ``import hypre_tpu`` stays light — subpackages
+# load on first attribute access.
+_UMBRELLA = {
+    # IJ interface (IJ_mv, HYPRE_IJMatrix/IJVector)
+    "IJMatrix": "hypre_tpu.ij",
+    "IJVector": "hypre_tpu.ij",
+    # Krylov (HYPRE_*pcg/gmres/...)
+    "pcg": "hypre_tpu.krylov",
+    "gmres": "hypre_tpu.krylov",
+    "flexgmres": "hypre_tpu.krylov",
+    "lgmres": "hypre_tpu.krylov",
+    "cogmres": "hypre_tpu.krylov",
+    "bicgstab": "hypre_tpu.krylov",
+    "cgnr": "hypre_tpu.krylov",
+    "lobpcg": "hypre_tpu.krylov",
+    # ParCSR-class solvers (parcsr_ls)
+    "BoomerAMG": "hypre_tpu.amg",
+    "SmoothedAggAMG": "hypre_tpu.amg",
+    # struct_ls
+    "PFMG": "hypre_tpu.struct",
+    "SMG": "hypre_tpu.struct",
+    "SparseMSG": "hypre_tpu.struct",
+    "StructHybrid": "hypre_tpu.struct",
+    "StructJacobi": "hypre_tpu.struct",
+    "StructMatrix": "hypre_tpu.struct",
+    "StructStencil": "hypre_tpu.struct",
+    # sstruct_ls
+    "SStructGrid": "hypre_tpu.sstruct",
+    "SStructMatrix": "hypre_tpu.sstruct",
+    "SplitSolver": "hypre_tpu.sstruct",
+    "SysPFMG": "hypre_tpu.sstruct",
+    "FAC": "hypre_tpu.sstruct",
+    "Maxwell": "hypre_tpu.sstruct",
+    # preconditioners (parcsr_ls + distributed_ls + FEI LSI one-offs)
+    "FSAI": "hypre_tpu.precond",
+    "ParaSails": "hypre_tpu.precond",
+    "ILU": "hypre_tpu.precond",
+    "ILUT": "hypre_tpu.precond",
+    "Euclid": "hypre_tpu.precond",
+    "PILUT": "hypre_tpu.precond",
+    "ParILU": "hypre_tpu.precond",
+    "Schwarz": "hypre_tpu.precond",
+    "PolyPrecond": "hypre_tpu.precond",
+    # FEI 2.x
+    "FEISystem": "hypre_tpu.fei",
+}
+
+
+def __getattr__(name):
+    mod = _UMBRELLA.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'hypre_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_UMBRELLA))

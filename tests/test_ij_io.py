@@ -116,3 +116,19 @@ def test_ij_ascii_roundtrip(tmp_path):
     # content dispatch picks the IJ parser (no MatrixMarket header)
     C = read_any_matrix(str(p))
     np.testing.assert_allclose(C.to_dense(), dense, rtol=1e-13)
+
+
+def test_umbrella_api_surface():
+    """hypre's single-include umbrella (HYPRE.h): every solver family is
+    reachable from the package root (lazy PEP 562 exports)."""
+    import hypre_tpu
+
+    for name in (
+        "IJMatrix", "IJVector", "pcg", "gmres", "bicgstab", "BoomerAMG",
+        "SmoothedAggAMG", "PFMG", "SMG", "SparseMSG", "StructHybrid",
+        "SStructGrid", "SplitSolver", "SysPFMG", "FAC", "Maxwell", "FSAI",
+        "ParaSails", "ILU", "ILUT", "Euclid", "PILUT", "ParILU", "Schwarz",
+        "PolyPrecond", "FEISystem",
+    ):
+        assert getattr(hypre_tpu, name) is not None, name
+    assert "BoomerAMG" in dir(hypre_tpu)
