@@ -41,6 +41,10 @@ IJ_GOLDEN = [
     # and rotated anisotropy (par_rotate_7pt.c)
     ("-solver 1 -n 16 16 16 -vardifconv -rlx 18 -tol 1e-8", 13, 2.618e-09),
     ("-solver 1 -n 48 48 1 -rotate -eps 0.01 -tol 1e-8", 6, 3.705e-09),
+    # BASELINE.json config #3: 27-pt Laplacian, l1-Jacobi + GMRES driver
+    # and Chebyshev smoothing (ij -27pt, par_laplace_27pt.c)
+    ("-solver 3 -27pt -n 16 16 16 -rlx 18 -tol 1e-8", 9, 9.801e-09),
+    ("-solver 1 -27pt -n 16 16 16 -rlx 16 -cheby_eig_est 10 -tol 1e-8", 6, 6.597e-10),
 ]
 
 STRUCT_GOLDEN = [
