@@ -53,6 +53,11 @@ class BoomerAMG:
     # 'sym-two-stage-gs' | 'kaczmarz'
     relax: str = "chebyshev"
     relax_weight: float = 1.0
+    # HYPRE_BoomerAMGSetRelaxOrder: 1 = CF ordering (C points first, then F
+    # against the updated C values) for the Jacobi-type smoothers — two
+    # masked pointwise sweeps, the device-parallel form of hypre's CPU
+    # default CF-GS ordering (par_relax.c relax_points dispatch)
+    relax_order: int = 0
     num_sweeps: int = 1
     cycle_type: int = 1  # 1=V, 2=W, 3=F
     # additive cycling from this level down (-1 = off). Maps
@@ -168,7 +173,8 @@ class BoomerAMG:
             self.hierarchy = _dc.replace(hier, levels=new_levels)
 
         self._smoother = make_smoother(
-            self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio
+            self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio,
+            relax_order=self.relax_order,
         )
         return self
 

@@ -1060,9 +1060,12 @@ def setup_hierarchy_device(
                 P_store, Pt_store = T, None
         _log(f"L{lev_id} level stored (transfer_dia="
              f"{Pt_store is None})")
+        cf_pad = jnp.zeros(dinv.shape, jnp.int8).at[: cf.shape[0]].set(
+            cf.astype(jnp.int8)
+        )
         levels.append(
             Level(A=A_cur, P=P_store, Pt=Pt_store, dinv=dinv, l1inv=l1inv,
-                  lmax=lmax)
+                  lmax=lmax, cf=cf_pad)
         )
         A_cur = EllMatrix(vals=acv, cols=acc, n_cols=n_coarse)
         shifts = None  # coarse operators are unstructured

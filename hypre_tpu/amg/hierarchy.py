@@ -53,6 +53,10 @@ class Level:
     # par_cg_relax_wt.c — requested by relax_weight < 0, hypre's
     # convention); None = use the static relax_weight knob
     rw: Optional[jax.Array] = None
+    # CF splitting of this level's rows (+1 C / -1 F, 0 on padded tails),
+    # kept for CF-ordered relaxation (HYPRE_BoomerAMGSetRelaxOrder); None
+    # on the coarsest level and on setup paths that don't record it
+    cf: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -220,7 +224,12 @@ def setup_hierarchy(
         AP = ell_spgemm(A, P)
         A_coarse = ell_spgemm(Pt, AP)
         dinv, l1inv, lmax = _level_vectors(A, need_cheby)
-        levels.append(Level(A=A, P=P, Pt=Pt, dinv=dinv, l1inv=l1inv, lmax=lmax))
+        cf_pad = jnp.zeros(dinv.shape, jnp.int8).at[: cf.shape[0]].set(
+            cf.astype(jnp.int8)
+        )
+        levels.append(
+            Level(A=A, P=P, Pt=Pt, dinv=dinv, l1inv=l1inv, lmax=lmax, cf=cf_pad)
+        )
         A = A_coarse
 
     # coarsest: dense (pseudo)inverse — hypre's coarse Gaussian elimination
@@ -240,10 +249,31 @@ def setup_hierarchy(
     )
 
 
-def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio: float):
+def make_smoother(relax: str, relax_weight: float, cheby_order: int, cheby_ratio: float,
+                  relax_order: int = 0):
     """Bind a relax-type string to a (level, u, f) -> u function
-    (the hypre_BoomerAMGRelax relax_type dispatch, par_relax.c:78-160)."""
+    (the hypre_BoomerAMGRelax relax_type dispatch, par_relax.c:78-160).
 
+    relax_order=1 applies hypre's CF ordering (HYPRE_BoomerAMGSetRelaxOrder:
+    C points first, then F points against the updated C values) to the
+    Jacobi-type smoothers; Chebyshev/Kaczmarz are whole-grid polynomial
+    methods and ignore it, as hypre's dispatch does for relax types without
+    a relax_points path."""
+    from hypre_tpu.amg.relax import cf_jacobi
+
+    if relax_order == 1 and relax in ("jacobi", "l1-jacobi"):
+        def cf_sm(lev, u, f):
+            if lev.cf is None:
+                raise ValueError(
+                    "relax_order=1 needs the setup path to record the CF "
+                    "splitting (Level.cf); this hierarchy has none"
+                )
+            if relax == "jacobi":
+                w = relax_weight if getattr(lev, "rw", None) is None else lev.rw
+                return cf_jacobi(lev.A, lev.dinv, u, f, lev.cf, w)
+            return cf_jacobi(lev.A, lev.l1inv, u, f, lev.cf, 1.0)
+
+        return cf_sm
     if relax == "jacobi":
         # per-level CG-estimated weights (hypre_BoomerAMGCGRelaxWt) live
         # in lev.rw when the hypre negative-relax-weight convention asked
@@ -622,7 +652,7 @@ def _setup_hierarchy_native(
         is_c = cf == 1
         n_coarse = int(is_c.sum())
         if n_coarse == 0 or n_coarse >= coarsen_rtol * n:
-            return 0, None
+            return 0, None, None
         cmap = np.where(is_c, np.cumsum(is_c) - 1, -1).astype(np.int32)
         if interp == "direct":
             Pp, Pj, Px = native.direct_interp(n, Ap, Aj, Ax, S, cf, cmap)
@@ -630,7 +660,7 @@ def _setup_hierarchy_native(
             Pp, Pj, Px = native.extpi_interp(n, Ap, Aj, Ax, S, cf, cmap)
         if p_max_elmts > 0 or trunc_factor > 0:
             Pp, Pj, Px = native.truncate(n, Pp, Pj, Px, p_max_elmts, trunc_factor)
-        return n_coarse, (Pp, Pj, Px)
+        return n_coarse, (Pp, Pj, Px), cf
 
     def rap(n, nc, Ap, Aj, Ax, Pp, Pj, Px):
         Tp, Tj, Tx = native.transpose(n, nc, Pp, Pj, Px)
@@ -639,7 +669,7 @@ def _setup_hierarchy_native(
         return (Tp, Tj, Tx), (Cp, Cj, Cx)
 
     while len(levels) < max_levels - 1 and n > max_coarse_size:
-        n_coarse, P_csr = one_pass(n, Ap, Aj, Ax)
+        n_coarse, P_csr, cf_fine = one_pass(n, Ap, Aj, Ax)
         if n_coarse == 0:
             break
         Pp, Pj, Px = P_csr
@@ -650,7 +680,7 @@ def _setup_hierarchy_native(
             # the intermediate grid entirely
             (T1), (C1) = rap(n, n_coarse, Ap, Aj, Ax, Pp, Pj, Px)
             C1p, C1j, C1x = C1
-            n2, P2_csr = one_pass(n_coarse, C1p, C1j, C1x)
+            n2, P2_csr, _cf2 = one_pass(n_coarse, C1p, C1j, C1x)
             if n2 > 0:
                 P2p, P2j, P2x = P2_csr
                 Pp, Pj, Px = native.spgemm(
@@ -691,7 +721,12 @@ def _setup_hierarchy_native(
             lmax = jnp.asarray(1.1 * float(x @ y) / float(x @ x), dtype)
         else:
             lmax = jnp.asarray(0.0, dtype)
-        levels.append(Level(A=A_ell, P=P_ell, Pt=Pt_ell, dinv=dinv, l1inv=l1inv, lmax=lmax))
+        cf_pad = np.zeros(int(dinv.shape[0]), np.int8)
+        cf_pad[: cf_fine.shape[0]] = cf_fine.astype(np.int8)
+        levels.append(
+            Level(A=A_ell, P=P_ell, Pt=Pt_ell, dinv=dinv, l1inv=l1inv,
+                  lmax=lmax, cf=jnp.asarray(cf_pad))
+        )
 
         n, Ap, Aj, Ax = n_coarse, Cp, Cj, Cx
         A_ell = _csr_to_ell_device(n, n, Ap, Aj, Ax, dtype)

@@ -41,6 +41,30 @@ def l1_jacobi(A: EllMatrix, l1inv: jax.Array, u: jax.Array, f: jax.Array) -> jax
     return u + l1inv * (f - A.mv(u))
 
 
+def cf_jacobi(
+    A: EllMatrix,
+    dinv: jax.Array,
+    u: jax.Array,
+    f: jax.Array,
+    cf: jax.Array,
+    weight: float = 1.0,
+) -> jax.Array:
+    """CF-ordered (relax_order=1) Jacobi: relax the C points first, then the
+    F points seeing the UPDATED C values — hypre's CF two-color sweep
+    (hypre_BoomerAMGRelax relax_points dispatch, par_relax.c; ordering
+    chosen at par_amg_setup.c via HYPRE_BoomerAMGSetRelaxOrder). Pointwise
+    parallel within each color, so it maps to two masked device sweeps.
+
+    cf: +1 on C points, -1 on F points (padded tails may hold 0 — they
+    never update). Works for both dinv- and l1inv-style scalings.
+    """
+    is_c = cf > 0
+    uc = u + weight * dinv * (f - A.mv(u))
+    u = jnp.where(is_c, uc, u)
+    uf = u + weight * dinv * (f - A.mv(u))
+    return jnp.where(cf < 0, uf, u)
+
+
 # ---------------------------------------------------------------------------
 # Chebyshev (par_cheby.c)
 # ---------------------------------------------------------------------------

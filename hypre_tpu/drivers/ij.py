@@ -32,6 +32,7 @@ def parse_args(argv):
         theta=0.25, agg_nl=0, pmx=4, ns=1, k_dim=30, rhs="ones",
         fromfile=None, eps=1.0, two_norm=True, poutdat=0,
         additive=-1, add_variant="additive", rlx_wt=1.0, cheby_eig_est=0,
+        relax_order=0,
     )
     it = iter(range(len(argv)))
     i = 0
@@ -79,6 +80,8 @@ def parse_args(argv):
                 0: "jacobi", 7: "jacobi", 18: "l1-jacobi", 16: "chebyshev",
                 11: "two-stage-gs", 12: "sym-two-stage-gs", 20: "kaczmarz",
             }[int(take())]
+        elif f == "-CF":
+            a["relax_order"] = int(take())
         elif f == "-tol":
             a["tol"] = float(take())
         elif f == "-max_iter":
@@ -180,6 +183,7 @@ def run(argv) -> tuple[int, float]:
             p_max_elmts=a["pmx"], num_sweeps=a["ns"],
             additive=a["additive"], additive_variant=a["add_variant"],
             relax_weight=a["rlx_wt"], cheby_eig_est=a["cheby_eig_est"],
+            relax_order=a["relax_order"],
         ).setup(A)
         _amg_cache.append(solver)  # kept for -poutdat setup stats
         return solver

@@ -45,6 +45,9 @@ IJ_GOLDEN = [
     # and Chebyshev smoothing (ij -27pt, par_laplace_27pt.c)
     ("-solver 3 -27pt -n 16 16 16 -rlx 18 -tol 1e-8", 9, 9.801e-09),
     ("-solver 1 -27pt -n 16 16 16 -rlx 16 -cheby_eig_est 10 -tol 1e-8", 6, 6.597e-10),
+    # CF-ordered Jacobi (ij.c -CF, HYPRE_BoomerAMGSetRelaxOrder): the CF
+    # sweep turns undamped Jacobi into a GS-class smoother (10 vs 32 iters)
+    ("-solver 1 -n 40 40 1 -rlx 0 -CF 1 -tol 1e-8", 10, 7.462e-09),
 ]
 
 STRUCT_GOLDEN = [
