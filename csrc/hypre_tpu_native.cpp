@@ -36,12 +36,19 @@ extern "C" {
 // S_mask[p] = 1 iff A entry p is a strong off-diagonal connection.
 // ---------------------------------------------------------------------------
 void strength_mask(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
-                   f64 theta, uint8_t* S_mask) {
+                   f64 theta, f64 max_row_sum, uint8_t* S_mask) {
 #pragma omp parallel for schedule(static)
   for (i32 i = 0; i < n; ++i) {
-    f64 diag = 0.0;
-    for (i32 p = Ap[i]; p < Ap[i + 1]; ++p)
+    f64 diag = 0.0, row_sum = 0.0;
+    for (i32 p = Ap[i]; p < Ap[i + 1]; ++p) {
+      row_sum += Ax[p];
       if (Aj[p] == i) diag += Ax[p];
+    }
+    // diagonally dominant row (|row_sum| > max_row_sum*|diag|): pointwise
+    // relaxation handles it alone; drop all dependencies (par_strength.c
+    // max_row_sum branch, HYPRE_BoomerAMGSetMaxRowSum default 0.9)
+    bool dominant =
+        max_row_sum < 1.0 && std::fabs(row_sum) > max_row_sum * std::fabs(diag);
     f64 sign = diag >= 0 ? 1.0 : -1.0;
     f64 row_max = 0.0;
     for (i32 p = Ap[i]; p < Ap[i + 1]; ++p) {
@@ -52,7 +59,8 @@ void strength_mask(i32 n, const i32* Ap, const i32* Aj, const f64* Ax,
     f64 thresh = theta * row_max;
     for (i32 p = Ap[i]; p < Ap[i + 1]; ++p) {
       f64 cand = -sign * Ax[p];
-      S_mask[p] = (Aj[p] != i && row_max > 0 && cand > 0 && cand >= thresh);
+      S_mask[p] = (!dominant && Aj[p] != i && row_max > 0 && cand > 0 &&
+                   cand >= thresh);
     }
   }
 }

@@ -36,6 +36,9 @@ from hypre_tpu.seq.vector import dot
 class BoomerAMG:
     # knob names follow HYPRE_BoomerAMGSet* setters
     strength_threshold: float = 0.25
+    # HYPRE_BoomerAMGSetMaxRowSum (hypre default 0.9; 1.0 disables): drop
+    # all dependencies of strongly diagonally dominant rows
+    max_row_sum: float = 0.9
     max_levels: int = 25
     # TPU note: deeper hierarchies cost one pallas-kernel compile per level;
     # a dense direct solve handles a few thousand rows in microseconds on the
@@ -182,6 +185,7 @@ class BoomerAMG:
         self.hierarchy = setup_hierarchy(
             A,
             strength_threshold=self.strength_threshold,
+            max_row_sum=self.max_row_sum,
             max_levels=self.max_levels,
             max_coarse_size=self.max_coarse_size,
             p_max_elmts=self.p_max_elmts,

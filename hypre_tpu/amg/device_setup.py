@@ -115,7 +115,8 @@ def _scatter_add_counts(cols: jax.Array, mask: jax.Array, n_cols: int,
 
 
 def strength_and_cap(A: EllMatrix, theta: float, s_cap: int, shifts=None,
-                     with_back: bool = False, tie_cols=None):
+                     with_back: bool = False, tie_cols=None,
+                     mxrs: float = 1.0):
     """Strength mask of A (hypre classical negative-coupling definition,
     matching amg/strength.py) + a compact strong-pattern slab (scols,
     svals) of width <= s_cap holding the strongest connections.
@@ -138,6 +139,12 @@ def strength_and_cap(A: EllMatrix, theta: float, s_cap: int, shifts=None,
     max_off = jnp.max(jnp.where(offd, coupling, -jnp.inf), axis=1)
     thresh = theta * jnp.where(jnp.isfinite(max_off), max_off, 0.0)
     S = offd & (coupling > jnp.maximum(thresh, 0.0)[:, None]) & (thresh > 0)[:, None]
+    if mxrs < 1.0:
+        # hypre max_row_sum cutoff (par_strength.c): strongly diagonally
+        # dominant rows keep no dependencies (see amg/strength.py)
+        row_sum = jnp.sum(jnp.where(A.cols >= 0, A.vals, 0), axis=1)
+        safe_d = jnp.where(diag != 0, diag, 1.0)
+        S = S & ~(jnp.abs(row_sum / safe_d) > mxrs)[:, None]
     scols = jnp.where(S, A.cols, PAD_COL)
     svals = jnp.where(S, A.vals, 0.0)
     sback = None
@@ -723,11 +730,13 @@ def _vectors_impl(vals, cols, need_cheby):
     return dinv, l1inv, lmax
 
 
-@partial(jax.jit, static_argnames=("s_cap", "s2_cap", "shifts", "need_cheby"))
-def _jit_split_agg2(vals, cols, theta, s_cap, s2_cap, shifts, need_cheby):
+@partial(jax.jit, static_argnames=("s_cap", "s2_cap", "shifts", "need_cheby",
+                                   "mxrs"))
+def _jit_split_agg2(vals, cols, theta, s_cap, s2_cap, shifts, need_cheby,
+                    mxrs=1.0):
     """split_agg fused with the level's smoother vectors (one dispatch)."""
     A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
-    S, scols, svals, _ = strength_and_cap(A, theta, s_cap, shifts)
+    S, scols, svals, _ = strength_and_cap(A, theta, s_cap, shifts, mxrs=mxrs)
     cf1 = pmis_device(scols, A.n_rows, shifts=shifts)
     cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap, shifts)
     cmap, n_c = _coarse_map(cf)
@@ -736,11 +745,12 @@ def _jit_split_agg2(vals, cols, theta, s_cap, s2_cap, shifts, need_cheby):
 
 
 @partial(jax.jit, static_argnames=("s_cap", "shifts", "symmetric",
-                                   "need_cheby"))
-def _jit_split2(vals, cols, theta, s_cap, shifts, symmetric, need_cheby):
+                                   "need_cheby", "mxrs"))
+def _jit_split2(vals, cols, theta, s_cap, shifts, symmetric, need_cheby,
+                mxrs=1.0):
     A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
     S, scols, svals, sback = strength_and_cap(
-        A, theta, s_cap, shifts, with_back=not symmetric
+        A, theta, s_cap, shifts, with_back=not symmetric, mxrs=mxrs
     )
     cf = pmis_device(scols, A.n_rows, shifts=shifts)
     cmap, n_c = _coarse_map(cf)
@@ -880,6 +890,7 @@ def _jit_level_vectors(vals, cols, need_cheby):
 def setup_hierarchy_device(
     A: EllMatrix,
     strength_threshold: float = 0.25,
+    max_row_sum: float = 1.0,
     max_levels: int = 25,
     max_coarse_size: int = 64,
     p_max_elmts: int = 4,
@@ -942,13 +953,14 @@ def setup_hierarchy_device(
             scols, svals, cf, cmap, n_c, dinv, l1inv, lmax = _jit_split_agg2(
                 A_cur.vals, A_cur.cols, theta, min(s_cap, A_cur.k),
                 _bucket(4 * min(s_cap, A_cur.k)), shifts, need_cheby,
+                mxrs=max_row_sum,
             )
             sback = jnp.zeros((0,), dtype)
         else:
             (scols, svals, sback, cf, cmap, n_c, dinv, l1inv,
              lmax) = _jit_split2(
                 A_cur.vals, A_cur.cols, theta, min(s_cap, A_cur.k), shifts,
-                symmetric, need_cheby,
+                symmetric, need_cheby, mxrs=max_row_sum,
             )
         n_coarse = int(n_c)  # the per-level host sync (downstream shapes)
         _log(f"L{len(levels)} split done: n={n} -> n_c={n_coarse} "

@@ -83,6 +83,7 @@ def _level_vectors(A: EllMatrix, need_cheby: bool) -> tuple[jax.Array, jax.Array
 def setup_hierarchy(
     A: EllMatrix,
     strength_threshold: float = 0.25,
+    max_row_sum: float = 1.0,
     max_levels: int = 25,
     max_coarse_size: int = 64,
     p_max_elmts: int = 4,
@@ -129,6 +130,7 @@ def setup_hierarchy(
         return setup_hierarchy_device(
             A,
             strength_threshold=strength_threshold,
+            max_row_sum=max_row_sum,
             max_levels=max_levels,
             max_coarse_size=max_coarse_size,
             p_max_elmts=p_max_elmts,
@@ -158,6 +160,7 @@ def setup_hierarchy(
         return _setup_hierarchy_native(
             A,
             strength_threshold=strength_threshold,
+            max_row_sum=max_row_sum,
             max_levels=max_levels,
             max_coarse_size=max_coarse_size,
             p_max_elmts=p_max_elmts,
@@ -186,7 +189,7 @@ def setup_hierarchy(
 
     @partial(jax.jit, static_argnames=())
     def strength(A_lev: EllMatrix):
-        return strength_mask(A_lev, strength_threshold)
+        return strength_mask(A_lev, strength_threshold, max_row_sum)
 
     @jax.jit
     def number(cf):
@@ -621,6 +624,7 @@ def _setup_hierarchy_native(
     interp: str = "ext+i",
     agg_num_levels: int = 0,
     nongalerkin_tol: float = 0.0,
+    max_row_sum: float = 1.0,
 ) -> AMGHierarchy:
     """hypre_BoomerAMGSetup via the native kernels: the level loop stays in
     host CSR arrays end-to-end; ELL device slabs are built once per level."""
@@ -637,7 +641,7 @@ def _setup_hierarchy_native(
     def one_pass(n, Ap, Aj, Ax):
         """strength + coarsening + interpolation on one operator; returns
         (n_coarse, P csr)."""
-        S = native.strength(n, Ap, Aj, Ax, strength_threshold)
+        S = native.strength(n, Ap, Aj, Ax, strength_threshold, max_row_sum)
         if coarsen == "pmis":
             cf = native.pmis(n, Ap, Aj, S)
         else:  # ruge / falgout / hmis (single-shard: RS first pass)

@@ -19,8 +19,18 @@ import jax.numpy as jnp
 from hypre_tpu.seq.ell import EllMatrix
 
 
-def strength_mask(A: EllMatrix, theta: float = 0.25) -> jax.Array:
-    """Boolean (n, k) mask over A's slots: True = strong connection."""
+def strength_mask(
+    A: EllMatrix, theta: float = 0.25, max_row_sum: float = 1.0
+) -> jax.Array:
+    """Boolean (n, k) mask over A's slots: True = strong connection.
+
+    max_row_sum < 1 applies hypre's weak-dependence cutoff
+    (HYPRE_BoomerAMGSetMaxRowSum, default 0.9; hypre_BoomerAMGCreateS
+    par_strength.c:531): a strongly diagonally dominant row — where the
+    off-diagonal mass fails to cancel the diagonal, |sum_j a_ij| >
+    max_row_sum * |a_ii| (Dirichlet rows, shifted/mass-matrix-like rows) —
+    smooths so well that pointwise relaxation handles it alone; all of its
+    dependencies are marked weak so it coarsens as an isolated F point."""
     offd = A.offdiag_mask()
     diag = A.diagonal()
     sign = jnp.where(diag >= 0, 1.0, -1.0).astype(A.dtype)
@@ -28,7 +38,13 @@ def strength_mask(A: EllMatrix, theta: float = 0.25) -> jax.Array:
     row_max = jnp.max(cand, axis=1)
     has_strong = row_max > 0
     thresh = theta * row_max
-    return offd & (cand >= thresh[:, None]) & has_strong[:, None] & (cand > 0)
+    S = offd & (cand >= thresh[:, None]) & has_strong[:, None] & (cand > 0)
+    if max_row_sum < 1.0:
+        row_sum = jnp.sum(jnp.where(offd, A.vals, 0), axis=1) + diag
+        safe_d = jnp.where(diag != 0, diag, 1.0)
+        dominant = jnp.abs(row_sum / safe_d) > max_row_sum
+        S = S & ~dominant[:, None]
+    return S
 
 
 def strength_transpose_counts(A: EllMatrix, S: jax.Array) -> jax.Array:

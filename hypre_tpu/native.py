@@ -56,7 +56,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        lib.strength_mask.argtypes = [_i32, _i32p, _i32p, _f64p, _f64, _u8p]
+        lib.strength_mask.argtypes = [_i32, _i32p, _i32p, _f64p, _f64, _f64, _u8p]
         lib.pmis_coarsen.argtypes = [_i32, _i32p, _i32p, _u8p, _i32, _i32p]
         lib.rs_coarsen.argtypes = [_i32, _i32p, _i32p, _u8p, _i32p]
         lib.spgemm_symbolic.argtypes = [_i32, _i32, _i32p, _i32p, _i32p, _i32p, _i32p]
@@ -86,10 +86,10 @@ def available() -> bool:
 # -- numpy-level wrappers (CSR = (indptr i32, indices i32, data f64)) ---------
 
 
-def strength(n, Ap, Aj, Ax, theta: float) -> np.ndarray:
+def strength(n, Ap, Aj, Ax, theta: float, max_row_sum: float = 1.0) -> np.ndarray:
     lib = _load()
     S = np.zeros(len(Aj), np.uint8)
-    lib.strength_mask(n, Ap, Aj, Ax, theta, S)
+    lib.strength_mask(n, Ap, Aj, Ax, theta, max_row_sum, S)
     return S
 
 

@@ -217,3 +217,29 @@ class TestBoomerAMGConvergence:
         x, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-5)
         assert bool(info.converged)
         assert x.dtype == jnp.float32
+
+
+def test_max_row_sum_drops_dominant_rows():
+    """HYPRE_BoomerAMGSetMaxRowSum (par_strength.c): strongly diagonally
+    dominant rows (|row_sum| > max_row_sum*|a_ii|) keep no dependencies."""
+    import numpy as np
+
+    from hypre_tpu.amg.strength import strength_mask
+    from hypre_tpu.seq.ell import ell_from_dense
+
+    # row 0: dominant (diag 10, offd -1 -> row_sum 9 > 0.9*10 fails? equal
+    # -> use diag 20: row_sum 19 > 0.9*20=18); row 1: balanced Laplacian row
+    M = np.array([
+        [20.0, -1.0, 0.0],
+        [-1.0, 2.0, -1.0],
+        [0.0, -1.0, 2.0],
+    ])
+    A = ell_from_dense(M)
+    S_all = np.asarray(strength_mask(A, 0.25))
+    S_cut = np.asarray(strength_mask(A, 0.25, max_row_sum=0.9))
+    cols = np.asarray(A.cols)
+    # without the cutoff row 0 has a strong connection; with it, none
+    assert S_all[0].any()
+    assert not S_cut[0].any()
+    # the balanced rows keep theirs
+    assert S_cut[1].any() and S_cut[2].any()
