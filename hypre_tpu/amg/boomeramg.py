@@ -88,6 +88,17 @@ class BoomerAMG:
     # instead of the 10-step power method (HYPRE_BoomerAMGSetChebyEigEst,
     # hypre default 10; 0 keeps the power estimate)
     cheby_eig_est: int = 0
+    # complex smoothers on the finest levels (HYPRE_BoomerAMGSetSmoothType /
+    # SetSmoothNumLevels, par_amg_setup.c smooth dispatch): levels
+    # 0..smooth_num_levels-1 smooth with u += M(f - A u) where M is the
+    # named preconditioner built on that level's operator; the pointwise
+    # `relax` smoother runs below. '' disables.
+    smooth_type: str = ""  # '' | 'schwarz'(6) | 'ilu'(5) | 'fsai'(4-class)
+    smooth_num_levels: int = 0
+    # damping on the complex smoother's correction (hypre's
+    # HYPRE_BoomerAMGSetSchwarzRlxWeight; additive Schwarz over-corrects
+    # undamped — 0.5-0.8 is the useful range there, 1.0 for ILU/FSAI)
+    smooth_weight: float = 1.0
 
     hierarchy: Optional[AMGHierarchy] = dataclasses.field(default=None, repr=False)
 
@@ -175,10 +186,44 @@ class BoomerAMG:
                 new_levels.append(_dc.replace(lev, lmax=emax))
             self.hierarchy = _dc.replace(hier, levels=new_levels)
 
-        self._smoother = make_smoother(
+        base = make_smoother(
             self.relax, self.relax_weight, self.cheby_order, self.cheby_ratio,
             relax_order=self.relax_order,
         )
+        self._smoother = base
+        if self.smooth_type and self.smooth_num_levels > 0:
+            # hypre smooth_type: build the named preconditioner per smoothed
+            # level (par_amg_setup.c builds schwarz_data/ilu_data per level)
+            # from the pre-optimize EllMatrix operators stashed by _do_setup
+            def build_M(A_lev):
+                if self.smooth_type == "fsai":
+                    from hypre_tpu.precond import FSAI
+
+                    return FSAI().setup(A_lev).precond()
+                if self.smooth_type == "ilu":
+                    from hypre_tpu.precond import ILU
+
+                    return ILU().setup(A_lev).precond()
+                if self.smooth_type == "schwarz":
+                    from hypre_tpu.precond import Schwarz
+
+                    return Schwarz().setup(A_lev).precond()
+                raise ValueError(
+                    f"unknown smooth_type: {self.smooth_type!r}"
+                )
+
+            sms = []
+            for l, A_lev in enumerate(self._setup_As):
+                if l < self.smooth_num_levels:
+                    M = build_M(A_lev)
+                    w = self.smooth_weight
+                    sms.append(
+                        (lambda M_: lambda lev, u, f:
+                         u + w * M_(f - lev.A.mv(u)))(M)
+                    )
+                else:
+                    sms.append(base)
+            self._smoother = sms
         return self
 
     def _do_setup(self, A: EllMatrix) -> None:
@@ -199,6 +244,8 @@ class BoomerAMG:
             restrict_type=self.restrict_type,
             nongalerkin_tol=self.nongalerkin_tol,
         )
+        # pre-optimize EllMatrix operators for smooth_type setup
+        self._setup_As = [lev.A for lev in self.hierarchy.levels]
 
     # -- solver interfaces ---------------------------------------------------
 

@@ -332,8 +332,13 @@ def amg_cycle(
     par_cycle.c:23, fcycle flag).
 
     Python recursion over the static level list — unrolls at trace time.
+
+    smoother may be a LIST of per-level callables (hypre's smooth_type /
+    smooth_num_levels: complex smoothers — FSAI/ILU/Schwarz — on the first
+    levels, the pointwise smoother below them, par_cycle.c smooth dispatch).
     """
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    per_level = isinstance(smoother, (list, tuple))
 
     def restrict(lev: Level, r: jax.Array) -> jax.Array:
         return _restrict_level(hier, lev, r)
@@ -343,12 +348,13 @@ def amg_cycle(
             with jax.named_scope("mg_coarse_solve"):
                 return hier.coarse_inv @ f
         lev = hier.levels[level]
+        sm = smoother[level] if per_level else smoother
         # per-MG-level trace annotation (HYPRE_ANNOTATE_MGLEVEL_BEGIN,
         # utilities/caliper_instrumentation.h:35-56) — shows up as named
         # regions in jax.profiler/Xprof traces
         with jax.named_scope(f"mg_level_{level}"):
             for _ in range(num_sweeps):
-                u = smoother(lev, u, f)
+                u = sm(lev, u, f)
             r = f - lev.A.mv(u)
             rc = restrict(lev, r)
             ec = jnp.zeros(lev.P.vec_len_cols, f.dtype)
@@ -364,7 +370,7 @@ def amg_cycle(
         with jax.named_scope(f"mg_level_{level}_up"):
             u = u + lev.P.mv(ec)
             for _ in range(num_sweeps):
-                u = smoother(lev, u, f)
+                u = sm(lev, u, f)
         return u
 
     if u is None:
