@@ -32,7 +32,8 @@ def parse_args(argv):
         theta=0.25, agg_nl=0, pmx=4, ns=1, k_dim=30, rhs="ones",
         fromfile=None, eps=1.0, two_norm=True, poutdat=0,
         additive=-1, add_variant="additive", rlx_wt=1.0, cheby_eig_est=0,
-        relax_order=0, max_row_sum=0.9,
+        relax_order=0, max_row_sum=0.9, smooth_type="",
+        smooth_num_levels=0, smooth_weight=1.0,
     )
     it = iter(range(len(argv)))
     i = 0
@@ -90,6 +91,13 @@ def parse_args(argv):
             a["theta"] = float(take())
         elif f == "-mxrs":
             a["max_row_sum"] = float(take())
+        elif f == "-smtype":
+            # hypre ij.c smooth_type numbering: 4=FSAI-class, 5=ILU, 6=Schwarz
+            a["smooth_type"] = {4: "fsai", 5: "ilu", 6: "schwarz"}[int(take())]
+        elif f == "-smlv":
+            a["smooth_num_levels"] = int(take())
+        elif f == "-sw":
+            a["smooth_weight"] = float(take())
         elif f == "-agg_nl":
             a["agg_nl"] = int(take())
         elif f == "-Pmx":
@@ -182,7 +190,9 @@ def run(argv) -> tuple[int, float]:
         solver = BoomerAMG(
             coarsen_type=a["coarsen"], interp=a["interp"], relax=a["relax"],
             strength_threshold=a["theta"], agg_num_levels=a["agg_nl"],
-            max_row_sum=a["max_row_sum"],
+            max_row_sum=a["max_row_sum"], smooth_type=a["smooth_type"],
+            smooth_num_levels=a["smooth_num_levels"],
+            smooth_weight=a["smooth_weight"],
             p_max_elmts=a["pmx"], num_sweeps=a["ns"],
             additive=a["additive"], additive_variant=a["add_variant"],
             relax_weight=a["rlx_wt"], cheby_eig_est=a["cheby_eig_est"],

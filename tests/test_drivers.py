@@ -48,6 +48,8 @@ IJ_GOLDEN = [
     # CF-ordered Jacobi (ij.c -CF, HYPRE_BoomerAMGSetRelaxOrder): the CF
     # sweep turns undamped Jacobi into a GS-class smoother (10 vs 32 iters)
     ("-solver 1 -n 40 40 1 -rlx 0 -CF 1 -tol 1e-8", 10, 7.462e-09),
+    # complex level smoothers (ij.c -smtype 5 = ILU, -smlv levels)
+    ("-solver 1 -n 40 40 1 -rlx 18 -smtype 5 -smlv 2 -tol 1e-8", 6, 3.787e-10),
 ]
 
 STRUCT_GOLDEN = [
