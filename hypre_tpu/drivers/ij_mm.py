@@ -1,0 +1,183 @@
+"""``ij_mm`` — SpGEMM benchmark driver (reference: ``src/test/ij_mm.c``,
+jobs in ``src/test/TEST_bench/benchmark_spgemm.jobs``).
+
+Times device sparse matrix-matrix products on the generator Laplacians and
+prints hypre's output line ("Device Parcsr Matrix-by-Matrix wall clock
+time") so runs diff against ``benchmark_spgemm.perf.saved.*``. Jobs follow
+ij_mm.c's -job numbering:
+
+  1  C = A * A           (default)
+  2  C = A^T * A
+  4  C = P^T * A * P     (P = one real AMG interpolation level)
+  5  C = Diag(A) * A
+
+Measurement notes for the tunnel-attached TPU (see bench.py): every rep
+rescales A's values (so no (program, inputs) pair repeats — the tunnel
+serves identical dispatches from a response cache) and a scalar readback
+closes the timing window; all reps run inside ONE jitted program via the
+fixed-width spgemm kernels, so per-dispatch transport overhead is
+amortized.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _build(problem: str, nx: int, ny: int, nz: int):
+    from hypre_tpu.problems.laplacian import (
+        laplacian_2d_5pt, laplacian_2d_9pt, laplacian_3d_7pt,
+        laplacian_3d_27pt,
+    )
+
+    if problem == "5pt":
+        return laplacian_2d_5pt(nx, ny)
+    if problem == "9pt":
+        return laplacian_2d_9pt(nx, ny)
+    if problem == "27pt":
+        return laplacian_3d_27pt(nx, ny, max(nz, 2))
+    return laplacian_3d_7pt(nx, ny, max(nz, 2))
+
+
+def run(argv: list[str]) -> float:
+    from hypre_tpu.seq.ell import EllMatrix
+    from hypre_tpu.seq.spgemm import (
+        ell_spgemm, ell_spgemm_raw, ell_transpose, ell_transpose_raw,
+    )
+
+    a = dict(problem="7pt", nx=32, ny=32, nz=32, job=1, rep=10, verify=0)
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        f = argv[i]
+
+        def take():
+            nonlocal i
+            i += 1
+            return argv[i]
+
+        if f == "-n":
+            a["nx"], a["ny"], a["nz"] = int(take()), int(take()), int(take())
+        elif f in ("-5pt", "-9pt", "-7pt", "-27pt"):
+            a["problem"] = f[1:]
+        elif f == "-job":
+            a["job"] = int(take())
+        elif f == "-rep":
+            a["rep"] = int(take())
+        elif f == "-verify":
+            a["verify"] = int(take())
+        elif f == "-help":
+            print(__doc__)
+            raise SystemExit(0)
+        i += 1
+
+    A = _build(a["problem"], a["nx"], a["ny"], a["nz"])
+    jax.block_until_ready(A.vals)
+    job, rep = a["job"], a["rep"]
+
+    if job == 4:
+        # one real coarsening: P from strength+PMIS+ext+i on A
+        from hypre_tpu.amg.coarsen import coarse_map, pmis
+        from hypre_tpu.amg.interp import ext_plus_i_interp
+        from hypre_tpu.amg.strength import strength_mask
+
+        S = strength_mask(A, 0.25)
+        cf = pmis(A, S)
+        cmap, n_c = coarse_map(cf)
+        B = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+    elif job == 2:
+        B = A
+    elif job == 5:
+        B = A
+    else:
+        B = A
+
+    def product(Ax_vals):
+        Av = EllMatrix(vals=Ax_vals, cols=A.cols, n_cols=A.n_cols)
+        if job == 2:
+            return ell_spgemm(ell_transpose(Av), Av)
+        if job == 4:
+            AP = ell_spgemm(Av, B)
+            return ell_spgemm(ell_transpose(B), AP)
+        if job == 5:
+            d = Av.diagonal()
+            return EllMatrix(vals=d[:, None] * Av.vals, cols=Av.cols,
+                             n_cols=Av.n_cols)
+        return ell_spgemm(Av, Av)
+
+    # learn the true output widths once (host-orchestrated capacity retry),
+    # then freeze them so the rep loop is ONE fixed-shape jitted program
+    C0 = product(A.vals)
+    widths = {"c": C0.k}
+    if job == 4:
+        AP0 = ell_spgemm(A, B)
+        widths["ap"] = AP0.k
+        widths["t"] = ell_transpose(B).k
+    if job == 2:
+        widths["t"] = ell_transpose(A).k
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def timed(vals, reps):
+        def body(r, acc):
+            v = vals * (1.0 + 1e-9 * r)
+            Av = EllMatrix(vals=v, cols=A.cols, n_cols=A.n_cols)
+            if job == 2:
+                T, _ = ell_transpose_raw(Av, widths["t"])
+                C, _ = ell_spgemm_raw(T, Av, widths["c"])
+            elif job == 4:
+                AP, _ = ell_spgemm_raw(Av, B, widths["ap"])
+                T, _ = ell_transpose_raw(B, widths["t"])
+                C, _ = ell_spgemm_raw(T, AP, widths["c"])
+            elif job == 5:
+                d = Av.diagonal()
+                C = EllMatrix(vals=d[:, None] * Av.vals, cols=Av.cols,
+                              n_cols=Av.n_cols)
+            else:
+                C, _ = ell_spgemm_raw(Av, Av, widths["c"])
+            return acc + jnp.sum(C.vals)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), vals.dtype))
+
+    s = timed(A.vals, rep)  # compile + warm
+    float(s)
+    t0 = time.perf_counter()
+    s = timed(A.vals * 1.0000001, rep)
+    float(s)  # scalar readback closes the window
+    dt = (time.perf_counter() - t0) / rep
+
+    if a["verify"]:
+        # oracle: native CSR Gustavson product (csrc/)
+        import numpy as np
+
+        from hypre_tpu import native
+        from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays
+
+        n, Ap_, Aj_, Ax_ = _ell_to_csr_arrays(A)
+        if job == 1:
+            Cp, Cj, Cx = native.spgemm(n, n, Ap_, Aj_, Ax_, Ap_, Aj_, Ax_)
+            ref = np.abs(Cx).sum()
+            got = float(jnp.sum(jnp.abs(C0.vals)))
+            ok = abs(ref - got) <= 1e-8 * max(ref, 1.0) + 1e-6
+            print(f"verify: {'passed' if ok else 'FAILED'} "
+                  f"(|C| {got:.6e} vs oracle {ref:.6e})")
+            if not ok:
+                raise SystemExit(1)
+        else:
+            print("verify: skipped (oracle wired for -job 1 only)")
+
+    print(f"Device Parcsr Matrix-by-Matrix wall clock time = {dt:.6f} seconds")
+    return dt
+
+
+def main() -> None:
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

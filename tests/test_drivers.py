@@ -104,3 +104,18 @@ def test_struct_driver_smg_3d_plane_solve_golden():
 def test_ij_driver_help_lists_solvers():
     with pytest.raises(SystemExit):
         ij_driver.run(["-help"])
+
+
+def test_ij_mm_driver_verifies_against_native_oracle():
+    """ij_mm SpGEMM benchmark driver (src/test/ij_mm.c,
+    TEST_bench/benchmark_spgemm.jobs): A*A must match the native CSR
+    Gustavson oracle; all job types run."""
+    from hypre_tpu.drivers import ij_mm
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dt = ij_mm.run("-n 12 12 12 -7pt -job 1 -rep 2 -verify 1".split())
+    assert "verify: passed" in buf.getvalue()
+    assert dt > 0
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert ij_mm.run("-n 24 24 1 -5pt -job 4 -rep 2".split()) > 0
