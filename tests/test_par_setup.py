@@ -191,6 +191,7 @@ def test_distributed_hmis_hierarchy():
     assert hier.levels[0].P.n_cols < A.n_rows
 
 
+@pytest.mark.slow
 def test_par_hierarchy_distributed_gmres_iteration_parity():
     """Distributed AMG-GMRES on a nonsymmetric convection-diffusion
     operator (par_difconv.c analogue): the Krylov layer is matrix-free, so
