@@ -289,6 +289,22 @@ def main():
         f"solve {H27_SOLVE/solve27_s:.2f}x"
     )
 
+    # --- SpGEMM (TEST_bench/benchmark_spgemm: hypre V100 A*A times
+    # 0.0065-0.123 s on the 7-pt 128^3 and 0.078-0.654 s on the 27-pt) ---
+    spgemm7 = spgemm27 = None
+    if _os.environ.get("HYPRE_TPU_BENCH_SPGEMM", "1") != "0":
+        import contextlib
+
+        from hypre_tpu.drivers import ij_mm
+
+        with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+            spgemm7 = ij_mm.run(f"-n {n} {n} {n} -7pt -job 1 -rep 5".split())
+            spgemm27 = ij_mm.run(f"-n {n} {n} {n} -27pt -job 1 -rep 3".split())
+        log(
+            f"SpGEMM A*A: 7pt {spgemm7:.4f}s (hypre 0.0065-0.123), "
+            f"27pt {spgemm27:.4f}s (hypre 0.078-0.654)"
+        )
+
     # --- struct path: PFMG-PCG on a 2-D 2048^2 Laplacian (hypre struct
     # driver solver 11: 0.0123 s setup + 0.138 s solve on lassen,
     # benchmark_struct.perf.saved.lassen:14-15). One V100's share of the
@@ -372,6 +388,14 @@ def main():
                 "p27_true_rel_res": true27,
                 "p27_vs_baseline": round(
                     (H27_SETUP + H27_SOLVE) / (setup27_s + solve27_s), 4
+                ),
+                **(
+                    {
+                        "spgemm_7pt_seconds": round(spgemm7, 5),
+                        "spgemm_27pt_seconds": round(spgemm27, 5),
+                    }
+                    if spgemm7 is not None
+                    else {}
                 ),
             }
         )
