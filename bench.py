@@ -212,11 +212,20 @@ def main():
     # gives full f64 truth via host residuals when needed)
     from hypre_tpu.refine import make_device_refiner
 
-    def inner(Af, hier, r):
-        M = lambda rr: amg_cycle(hier, rr, smoother=smoother)
-        return pcg(lambda v: Af.mv(v), r, M=M, rtol=3e-4, maxiter=40)
+    def make_inner(rtol_p, maxiter_p):
+        def inner(Af, hier, r):
+            M = lambda rr: amg_cycle(hier, rr, smoother=smoother)
+            return pcg(lambda v: Af.mv(v), r, M=M, rtol=rtol_p,
+                       maxiter=maxiter_p)
 
-    refined = make_device_refiner(inner, passes=3)
+        return inner
+
+    # tolerance schedule: the first pass does the heavy reduction, the
+    # second only polishes — fewer total Krylov iterations than three
+    # equal-tolerance passes (refine.py's per-pass inner_solve list)
+    refined = make_device_refiner(
+        [make_inner(1e-4, 30), make_inner(1e-2, 10)]
+    )
     xh, xl, _ = refined(Afast, hier_fast, b)
     _ = float(jnp.sum(xh))
     refined_s = float("inf")
