@@ -119,3 +119,22 @@ def test_ij_mm_driver_verifies_against_native_oracle():
     assert dt > 0
     with contextlib.redirect_stdout(io.StringIO()):
         assert ij_mm.run("-n 24 24 1 -5pt -job 4 -rep 2".split()) > 0
+
+
+@pytest.mark.slow
+def test_tutorial_examples_smoke():
+    """A representative slice of the 18 tutorial examples runs end-to-end
+    (TEST_examples analogue; examples/run_all.py covers all 18)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        import ex5_ij_amg_pcg
+        import ex3_struct_pfmg_pcg
+        import ex11_lobpcg
+
+        ex5_ij_amg_pcg.main(n=24)
+        ex3_struct_pfmg_pcg.main()
+        ex11_lobpcg.main()
+    finally:
+        sys.path.remove("examples")
