@@ -15,6 +15,7 @@ import io
 import pytest
 
 from hypre_tpu.drivers import ij as ij_driver
+from hypre_tpu.drivers import sstruct as sstruct_driver
 from hypre_tpu.drivers import struct as struct_driver
 
 IJ_GOLDEN = [
@@ -66,6 +67,16 @@ STRUCT_GOLDEN = [
 ]
 
 
+SSTRUCT_GOLDEN = [
+    ("-solver 10 -n 12 -tol 1e-8", 19, 8.830e-09),   # PCG + Split(SMG)
+    ("-solver 11 -n 12 -tol 1e-8", 20, 5.989e-09),   # PCG + Split(PFMG)
+    ("-solver 20 -n 12 -tol 1e-8", 63, 9.939e-09),   # Split standalone
+    ("-solver 3 -n 16 -tol 1e-7", 16, 7.191e-08),    # SysPFMG
+    ("-solver 28 -n 12 -tol 1e-8", 15, 4.237e-09),   # FAC composite AMR
+    ("-solver 120 -n 10 -tol 1e-8", 10, 6.252e-09),  # Maxwell curl-curl
+]
+
+
 def _run(driver, flags):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -88,6 +99,15 @@ def test_ij_driver_golden(flags, iters, rel):
 )
 def test_struct_driver_golden(flags, iters, rel):
     got_it, got_rel = _run(struct_driver, flags)
+    assert got_it == iters, f"iterations {got_it} != golden {iters}"
+    assert got_rel <= rel * 1.2 + 1e-16
+
+
+@pytest.mark.parametrize(
+    "flags,iters,rel", SSTRUCT_GOLDEN, ids=[c[0] for c in SSTRUCT_GOLDEN]
+)
+def test_sstruct_driver_golden(flags, iters, rel):
+    got_it, got_rel = _run(sstruct_driver, flags)
     assert got_it == iters, f"iterations {got_it} != golden {iters}"
     assert got_rel <= rel * 1.2 + 1e-16
 
