@@ -1,0 +1,72 @@
+"""Cross-implementation convergence parity against hypre's published
+TEST_ij goldens (``src/test/TEST_ij/solvers.saved``, the BASELINE.md
+hardware-independent table).
+
+The jobs run hypre's DEFAULT ij problem — the 10x10x10 7-pt Laplacian with
+a random rhs (``solvers.jobs:33-38``) at tol 1e-8. Diagonally-scaled Krylov
+counts are knob-free, so they compare directly across implementations (up
+to the rhs sample; hypre's -rhsrand draws differ from ours):
+
+  DS-PCG        hypre 41 (solvers.saved:5-7)   -> ours 41, EXACT match
+  DS-GMRES k=5  hypre 93 (solvers.saved:13-15) -> ours 93, EXACT match
+  DS-CGNR       hypre 196 (solvers.saved:19-21)-> ours 128: hypre's
+                cgnr.c seeds the first search direction with p0 = r
+                (cgnr.c:328 "p = r") instead of the textbook CGLS
+                p0 = A^T r; ours uses the textbook start, same <r,r>
+                stopping rule (cgnr.c:386), and converges FASTER.
+  AMG-PCG       hypre 7 (solvers.saved:1-3, Falgout/classical-interp/
+                hybrid-GS CPU defaults) -> ours 6 with the TPU defaults
+                (PMIS/ext+i/Chebyshev) — same convergence class.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu.amg import BoomerAMG
+from hypre_tpu.krylov import cgnr, gmres, pcg
+from hypre_tpu.problems.laplacian import laplacian_3d_7pt
+from hypre_tpu.seq.ell import ell_spmv
+from hypre_tpu.seq.spgemm import ell_transpose
+
+
+@pytest.fixture(scope="module")
+def default_problem():
+    A = laplacian_3d_7pt(10, 10, 10)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(1000))
+    return A, b
+
+
+def test_ds_pcg_matches_hypre_golden(default_problem):
+    A, b = default_problem
+    dinv = 1.0 / A.diagonal()
+    _, info = pcg(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                  rtol=1e-8, maxiter=1000)
+    assert int(info.iterations) == 41  # hypre: 41
+
+
+def test_ds_gmres_matches_hypre_golden(default_problem):
+    A, b = default_problem
+    dinv = 1.0 / A.diagonal()
+    # hypre ij.c's GMRES default restart is k_dim=5
+    _, info = gmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                    rtol=1e-8, k_dim=5, maxiter=1000)
+    assert int(info.iterations) == 93  # hypre: 93
+
+
+def test_cgnr_not_slower_than_hypre_golden(default_problem):
+    A, b = default_problem
+    At = ell_transpose(A)
+    _, info = cgnr(lambda v: ell_spmv(A, v), lambda v: ell_spmv(At, v), b,
+                   rtol=1e-8, maxiter=1000)
+    assert bool(info.converged)
+    # textbook CGLS start beats hypre's p0=r variant (196); pin ours
+    assert int(info.iterations) <= 196
+    assert int(info.iterations) == 128
+
+
+def test_amg_pcg_in_hypre_iteration_class(default_problem):
+    A, b = default_problem
+    amg = BoomerAMG(max_coarse_size=100).setup(A)
+    _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
+    assert int(info.iterations) <= 7  # hypre CPU defaults: 7; ours: 6
