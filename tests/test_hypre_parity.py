@@ -24,7 +24,7 @@ import numpy as np
 import pytest
 
 from hypre_tpu.amg import BoomerAMG
-from hypre_tpu.krylov import cgnr, gmres, pcg
+from hypre_tpu.krylov import cgnr, cogmres, gmres, pcg
 from hypre_tpu.problems.laplacian import laplacian_3d_7pt
 from hypre_tpu.seq.ell import ell_spmv
 from hypre_tpu.seq.spgemm import ell_transpose
@@ -52,6 +52,18 @@ def test_ds_gmres_matches_hypre_golden(default_problem):
     _, info = gmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
                     rtol=1e-8, k_dim=5, maxiter=1000)
     assert int(info.iterations) == 93  # hypre: 93
+
+
+def test_ds_cogmres_matches_hypre_golden(default_problem):
+    """hypre's DS-COGMRES goldens (solvers.saved:53-76, cases 13-16) are 93
+    at every -cgs/-unroll setting, identical to DS-GMRES — reproduced here
+    at both single and double orthogonalization passes."""
+    A, b = default_problem
+    dinv = 1.0 / A.diagonal()
+    for cgs in (1, 2):
+        _, info = cogmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                          rtol=1e-8, k_dim=5, gs_passes=cgs, maxiter=1000)
+        assert int(info.iterations) == 93  # hypre: 93
 
 
 def test_cgnr_not_slower_than_hypre_golden(default_problem):
