@@ -24,7 +24,7 @@ import numpy as np
 import pytest
 
 from hypre_tpu.amg import BoomerAMG
-from hypre_tpu.krylov import cgnr, cogmres, gmres, pcg
+from hypre_tpu.krylov import cgnr, cogmres, flexgmres, gmres, lgmres, pcg
 from hypre_tpu.problems.laplacian import laplacian_3d_7pt
 from hypre_tpu.seq.ell import ell_spmv
 from hypre_tpu.seq.spgemm import ell_transpose
@@ -64,6 +64,26 @@ def test_ds_cogmres_matches_hypre_golden(default_problem):
         _, info = cogmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
                           rtol=1e-8, k_dim=5, gs_passes=cgs, maxiter=1000)
         assert int(info.iterations) == 93  # hypre: 93
+
+
+def test_ds_flexgmres_matches_hypre_golden(default_problem):
+    A, b = default_problem
+    dinv = 1.0 / A.diagonal()
+    _, info = flexgmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                        rtol=1e-8, k_dim=5, maxiter=1000)
+    assert int(info.iterations) == 93  # hypre solvers.saved:121: 93
+
+
+def test_ds_lgmres_not_slower_than_hypre_golden(default_problem):
+    """hypre DS-LGMRES golden is 83 (solvers.saved:113) — augmentation
+    beats plain restarted GMRES's 93. Our augmentation policy converges
+    faster still (65); pin ours and bound by hypre's."""
+    A, b = default_problem
+    dinv = 1.0 / A.diagonal()
+    _, info = lgmres(lambda v: ell_spmv(A, v), b, M=lambda r: dinv * r,
+                     rtol=1e-8, k_dim=5, aug_dim=2, maxiter=1000)
+    assert int(info.iterations) <= 83
+    assert int(info.iterations) == 65
 
 
 def test_cgnr_not_slower_than_hypre_golden(default_problem):
