@@ -187,3 +187,31 @@ def test_cogmres_single_reduction_variant():
     # single-pass (true one-reduction) variant also converges
     x3, i3 = cogmres(op, b, rtol=1e-8, maxiter=500, gs_passes=1)
     assert bool(i3.converged)
+
+
+def test_lobpcg_interpreted_on_struct_vectors():
+    """Multivector interpreter (multivector/interpreter.h analogue):
+    LOBPCG over STRUCT-GRID vector pytrees — the operator takes (nx, ny)
+    arrays — must find the same smallest eigenvalues as the dense oracle."""
+    import numpy as np
+
+    from hypre_tpu.multivector import Interpreter, MultiVector, lobpcg_interpreted
+    from hypre_tpu.problems.struct_problems import struct_laplacian
+    from hypre_tpu.struct.matrix import struct_matvec
+
+    n = 12
+    A = struct_laplacian((n, n))
+
+    def op(v):  # user vectors ARE (n, n) grids
+        return struct_matvec(A, v)
+
+    rng = np.random.default_rng(0)
+    X0 = MultiVector.from_vectors(
+        [jnp.asarray(rng.standard_normal((n, n))) for _ in range(4)]
+    )
+    w, V, res = lobpcg_interpreted(op, X0, tol=1e-8, maxiter=300)
+    dense = np.asarray(A.to_dense())
+    want = np.sort(np.linalg.eigvalsh(dense))[:4]
+    np.testing.assert_allclose(np.sort(np.asarray(w)), want, rtol=1e-6)
+    # vectors come back as grids
+    assert V.vectors()[0].shape == (n, n)
