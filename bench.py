@@ -374,6 +374,53 @@ def main():
             f"(hypre per-GPU load is 1/4 of this grid)"
         )
 
+        # SMG-PCG on the same grid (hypre: 0.121 s setup + 0.577 s solve,
+        # benchmark_struct.perf.saved.lassen:2-3 — SMG's exact line solves
+        # cost more per cycle but iterate less)
+        from hypre_tpu.struct import SMG
+
+        def build_smg(Ax):
+            sm = SMG().setup(Ax)
+            jax.block_until_ready(sm.hierarchy.coarse_inv)
+            return sm
+
+        build_smg(dataclasses.replace(As, coeffs=As.coeffs * 2.0))
+        t0 = time.perf_counter()
+        smg = build_smg(As)
+        _ = float(jnp.sum(smg.hierarchy.coarse_inv[:1, :1]))
+        smg_setup_s = time.perf_counter() - t0
+        Msm = smg.precond()
+
+        @jax.jit
+        def smg_solve(b):
+            from hypre_tpu.struct.matrix import struct_matvec
+
+            A0 = smg.hierarchy.levels[0].A
+            return _pcg(
+                lambda v: struct_matvec(A0, v.reshape(ns, ns)).reshape(-1),
+                b.reshape(-1),
+                M=lambda r: Msm(r.reshape(ns, ns)).reshape(-1),
+                rtol=1e-6,
+                maxiter=100,
+            )
+
+        xs, minfo = smg_solve(bs)
+        _ = float(jnp.sum(xs))
+        smg_solve_s = float("inf")
+        for _ in range(3):
+            bt = jnp.asarray(rng.random(ns * ns, np.float32)).reshape(ns, ns)
+            _ = float(jnp.sum(bt))
+            t0 = time.perf_counter()
+            xs, minfo = smg_solve(bt)
+            _ = float(jnp.sum(xs))
+            smg_solve_s = min(smg_solve_s, time.perf_counter() - t0)
+        HG_SETUP, HG_SOLVE = 0.121, 0.577
+        log(
+            f"SMG-PCG 2-D {ns}^2: setup {smg_setup_s:.3f}s solve "
+            f"{smg_solve_s:.3f}s ({int(minfo.iterations)} iters); vs hypre "
+            f"setup+solve {(HG_SETUP+HG_SOLVE)/(smg_setup_s+smg_solve_s):.3f}x"
+        )
+
     total = setup_s + solve_s
     hypre_total = HYPRE_SETUP_S + HYPRE_SOLVE_S
     print(
