@@ -102,3 +102,32 @@ def test_amg_pcg_in_hypre_iteration_class(default_problem):
     amg = BoomerAMG(max_coarse_size=100).setup(A)
     _, info = pcg(lambda v: ell_spmv(A, v), b, M=amg.precond(), rtol=1e-8)
     assert int(info.iterations) <= 7  # hypre CPU defaults: 7; ours: 6
+
+
+def test_struct_cg_matches_hypre_golden_to_printed_digits():
+    """TEST_struct solvers.saved:23 (np=1 CG on the default 10^3 7-pt
+    problem, b = ones, tol 1e-6): hypre prints 20 iterations and final
+    relative residual 5.962015e-07. The run is deterministic, so our
+    count AND residual match to every printed digit."""
+    from hypre_tpu.drivers import struct as struct_driver
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        it, rel = struct_driver.run("-solver 18 -n 10 10 10 -tol 1e-6".split())
+    assert it == 20
+    assert f"{rel:.6e}" == "5.962015e-07"
+
+
+def test_struct_mg_pcg_in_hypre_iteration_class():
+    """solvers.saved:2,6: SMG-PCG 4 and PFMG-PCG 8 on the default problem;
+    ours land within one iteration (5 and 9 — the coarse-operator recovery
+    is probing-based, not hypre's hand-differenced RAP kernels)."""
+    from hypre_tpu.drivers import struct as struct_driver
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        it_smg, _ = struct_driver.run("-solver 10 -n 10 10 10 -tol 1e-6".split())
+        it_pfmg, _ = struct_driver.run("-solver 11 -n 10 10 10 -tol 1e-6".split())
+    assert it_smg <= 5  # hypre: 4
+    assert it_pfmg <= 9  # hypre: 8
