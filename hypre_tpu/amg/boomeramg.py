@@ -92,7 +92,11 @@ class BoomerAMG:
     # SetSmoothNumLevels, par_amg_setup.c smooth dispatch): levels
     # 0..smooth_num_levels-1 smooth with u += M(f - A u) where M is the
     # named preconditioner built on that level's operator; the pointwise
-    # `relax` smoother runs below. '' disables.
+    # `relax` smoother runs below. '' disables. NOTE: the smoother's
+    # factors are closure-captured, so inside a user jit they bake into
+    # the program as constants — fine on CPU/GPU, but remote-compile
+    # setups with HLO payload limits should keep smooth_num_levels small
+    # on very large grids (pass hierarchies as jit args as usual).
     smooth_type: str = ""  # '' | 'schwarz'(6) | 'ilu'(5) | 'fsai'(4-class)
     smooth_num_levels: int = 0
     # damping on the complex smoother's correction (hypre's
