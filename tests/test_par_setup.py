@@ -155,6 +155,7 @@ def test_par_hierarchy_large_grid_parity():
     assert int(info.iterations) == int(info2.iterations)
 
 
+@pytest.mark.slow
 def test_distributed_hmis_hierarchy():
     # HMIS composition (par_coarsen.c:2846): per-shard interior RS first
     # pass + boundary PMIS. CF splitting must be valid (every non-isolated
