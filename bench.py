@@ -249,70 +249,83 @@ def main():
         f"— {HYPRE_SOLVE_S/refined_s:.2f}x hypre solve"
     )
 
-    # --- BASELINE.json's named metric: 27-pt 3-D Laplacian at the same
-    # per-device load (hypre: 0.237 s setup + 0.197 s solve, interp 6,
-    # benchmark_ij.perf.saved.lassen:14-15) ---
-    from hypre_tpu.problems.laplacian import laplacian_3d_27pt
-    from hypre_tpu.seq.fastmv import optimize_operator
-
-    A27 = laplacian_3d_27pt(n, n, n, dtype=dtype)
-    jax.block_until_ready(A27.vals)
-    wp27 = {}
-
-    def build27(Ax):
-        hier = setup_hierarchy_device(
-            Ax, max_coarse_size=1500, relax="chebyshev", agg_num_levels=1,
-            width_plan=wp27, coarse_drop_tol=0.02, transfer_dia=True,
-        )
-        fast = optimize_hierarchy(hier, gather_precision=0)
-        for lev in fast.levels:
-            jax.block_until_ready(lev.dinv)
-        jax.block_until_ready(fast.coarse_inv)
-        return fast
-
-    build27(dataclasses.replace(A27, vals=A27.vals * 2.0))
-    t0 = time.perf_counter()
-    hier27 = build27(A27)
-    _ = float(jnp.sum(hier27.coarse_inv[:1, :1]))
-    setup27_s = time.perf_counter() - t0
-    A27f = jax.device_put(optimize_operator(A27), jax.devices()[0])
-    b27 = jnp.ones(A27.n_rows, dtype)
-    x, info27 = solve(hier27, A27f, b27)
-    _ = float(jnp.sum(x))
-    solve27_s = float("inf")
-    for _ in range(3):
-        bt = jnp.asarray(rng.random(A27.n_rows, np.float32))
-        _ = float(jnp.sum(bt))
-        t0 = time.perf_counter()
-        x, info27 = solve(hier27, A27f, bt)
-        _ = float(jnp.sum(x))
-        solve27_s = min(solve27_s, time.perf_counter() - t0)
-    x, info27 = solve(hier27, A27f, b27)
-    r27 = b27 - ell_spmv(A27, x)
-    true27 = float(jnp.linalg.norm(r27) / jnp.linalg.norm(b27))
+    # aux sections must never lose the headline JSON line: each is
+    # fenced so a failure (OOM, tunnel hiccup) degrades to -1 fields
+    setup27_s = solve27_s = float("inf")
+    true27, info27 = -1.0, None
     H27_SETUP, H27_SOLVE = 0.237, 0.197
-    log(
-        f"27-pt: setup {setup27_s:.3f}s solve {solve27_s:.3f}s "
-        f"({int(info27.iterations)} iters, true={true27:.2e}); vs hypre "
-        f"setup+solve {(H27_SETUP+H27_SOLVE)/(setup27_s+solve27_s):.3f}x, "
-        f"solve {H27_SOLVE/solve27_s:.2f}x"
-    )
+    try:
+        # --- BASELINE.json's named metric: 27-pt 3-D Laplacian at the same
+        # per-device load (hypre: 0.237 s setup + 0.197 s solve, interp 6,
+        # benchmark_ij.perf.saved.lassen:14-15) ---
+        from hypre_tpu.problems.laplacian import laplacian_3d_27pt
+        from hypre_tpu.seq.fastmv import optimize_operator
+
+        A27 = laplacian_3d_27pt(n, n, n, dtype=dtype)
+        jax.block_until_ready(A27.vals)
+        wp27 = {}
+
+        def build27(Ax):
+            hier = setup_hierarchy_device(
+                Ax, max_coarse_size=1500, relax="chebyshev", agg_num_levels=1,
+                width_plan=wp27, coarse_drop_tol=0.02, transfer_dia=True,
+            )
+            fast = optimize_hierarchy(hier, gather_precision=0)
+            for lev in fast.levels:
+                jax.block_until_ready(lev.dinv)
+            jax.block_until_ready(fast.coarse_inv)
+            return fast
+
+        build27(dataclasses.replace(A27, vals=A27.vals * 2.0))
+        t0 = time.perf_counter()
+        hier27 = build27(A27)
+        _ = float(jnp.sum(hier27.coarse_inv[:1, :1]))
+        setup27_s = time.perf_counter() - t0
+        A27f = jax.device_put(optimize_operator(A27), jax.devices()[0])
+        b27 = jnp.ones(A27.n_rows, dtype)
+        x, info27 = solve(hier27, A27f, b27)
+        _ = float(jnp.sum(x))
+        solve27_s = float("inf")
+        for _ in range(3):
+            bt = jnp.asarray(rng.random(A27.n_rows, np.float32))
+            _ = float(jnp.sum(bt))
+            t0 = time.perf_counter()
+            x, info27 = solve(hier27, A27f, bt)
+            _ = float(jnp.sum(x))
+            solve27_s = min(solve27_s, time.perf_counter() - t0)
+        x, info27 = solve(hier27, A27f, b27)
+        r27 = b27 - ell_spmv(A27, x)
+        true27 = float(jnp.linalg.norm(r27) / jnp.linalg.norm(b27))
+        log(
+            f"27-pt: setup {setup27_s:.3f}s solve {solve27_s:.3f}s "
+            f"({int(info27.iterations)} iters, true={true27:.2e}); vs hypre "
+            f"setup+solve {(H27_SETUP+H27_SOLVE)/(setup27_s+solve27_s):.3f}x, "
+            f"solve {H27_SOLVE/solve27_s:.2f}x"
+        )
+    except Exception as e:  # pragma: no cover - device-dependent
+        log(f"27-pt section FAILED: {e!r}")
 
     # --- SpGEMM (TEST_bench/benchmark_spgemm: hypre V100 A*A times
     # 0.0065-0.123 s on the 7-pt 128^3 and 0.078-0.654 s on the 27-pt) ---
     spgemm7 = spgemm27 = None
     if _os.environ.get("HYPRE_TPU_BENCH_SPGEMM", "1") != "0":
-        import contextlib
+        try:
+            import contextlib
 
-        from hypre_tpu.drivers import ij_mm
+            from hypre_tpu.drivers import ij_mm
 
-        with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
-            spgemm7 = ij_mm.run(f"-n {n} {n} {n} -7pt -job 1 -rep 5".split())
-            spgemm27 = ij_mm.run(f"-n {n} {n} {n} -27pt -job 1 -rep 3".split())
-        log(
-            f"SpGEMM A*A: 7pt {spgemm7:.4f}s (hypre 0.0065-0.123), "
-            f"27pt {spgemm27:.4f}s (hypre 0.078-0.654)"
-        )
+            with contextlib.redirect_stdout(sys.stderr):  # stdout = 1 JSON line
+                spgemm7 = ij_mm.run(f"-n {n} {n} {n} -7pt -job 1 -rep 5".split())
+                spgemm27 = ij_mm.run(
+                    f"-n {n} {n} {n} -27pt -job 1 -rep 3".split()
+                )
+            log(
+                f"SpGEMM A*A: 7pt {spgemm7:.4f}s (hypre 0.0065-0.123), "
+                f"27pt {spgemm27:.4f}s (hypre 0.078-0.654)"
+            )
+        except Exception as e:  # pragma: no cover - device-dependent
+            spgemm7 = spgemm27 = None
+            log(f"SpGEMM section FAILED: {e!r}")
 
     # --- struct path: PFMG-PCG on a 2-D 2048^2 Laplacian (hypre struct
     # driver solver 11: 0.0123 s setup + 0.138 s solve on lassen,
@@ -320,106 +333,109 @@ def main():
     # np=4 2048^2 run is 1M points; one chip here takes the full 2048^2 =
     # 4x that load. ---
     if _os.environ.get("HYPRE_TPU_BENCH_STRUCT", "1") != "0":
-        from hypre_tpu.krylov import pcg as _pcg
-        from hypre_tpu.problems.struct_problems import struct_laplacian
-        from hypre_tpu.struct import PFMG
+      try:
+            from hypre_tpu.krylov import pcg as _pcg
+            from hypre_tpu.problems.struct_problems import struct_laplacian
+            from hypre_tpu.struct import PFMG
 
-        ns = min(2048, 16 * n)
-        As = struct_laplacian((ns, ns), dtype=dtype)
+            ns = min(2048, 16 * n)
+            As = struct_laplacian((ns, ns), dtype=dtype)
 
-        def build_pf(Ax):
-            pf = PFMG().setup(Ax)
-            jax.block_until_ready(pf.hierarchy.coarse_inv)
-            return pf
+            def build_pf(Ax):
+                pf = PFMG().setup(Ax)
+                jax.block_until_ready(pf.hierarchy.coarse_inv)
+                return pf
 
-        build_pf(
-            dataclasses.replace(As, coeffs=As.coeffs * 2.0)
-        )  # compile/warm the probe programs on identical shapes
-        t0 = time.perf_counter()
-        pf = build_pf(As)
-        _ = float(jnp.sum(pf.hierarchy.coarse_inv[:1, :1]))
-        pf_setup_s = time.perf_counter() - t0
+            build_pf(
+                dataclasses.replace(As, coeffs=As.coeffs * 2.0)
+            )  # compile/warm the probe programs on identical shapes
+            t0 = time.perf_counter()
+            pf = build_pf(As)
+            _ = float(jnp.sum(pf.hierarchy.coarse_inv[:1, :1]))
+            pf_setup_s = time.perf_counter() - t0
 
-        bs = jnp.ones((ns, ns), dtype)
-        Ms = pf.precond()
+            bs = jnp.ones((ns, ns), dtype)
+            Ms = pf.precond()
 
-        @jax.jit
-        def struct_solve(b):
-            from hypre_tpu.struct.matrix import struct_matvec
+            @jax.jit
+            def struct_solve(b):
+                from hypre_tpu.struct.matrix import struct_matvec
 
-            A0 = pf.hierarchy.levels[0].A
-            return _pcg(
-                lambda v: struct_matvec(A0, v.reshape(ns, ns)).reshape(-1),
-                b.reshape(-1),
-                M=lambda r: Ms(r.reshape(ns, ns)).reshape(-1),
-                rtol=1e-6,
-                maxiter=100,
+                A0 = pf.hierarchy.levels[0].A
+                return _pcg(
+                    lambda v: struct_matvec(A0, v.reshape(ns, ns)).reshape(-1),
+                    b.reshape(-1),
+                    M=lambda r: Ms(r.reshape(ns, ns)).reshape(-1),
+                    rtol=1e-6,
+                    maxiter=100,
+                )
+
+            xs, sinfo = struct_solve(bs)
+            _ = float(jnp.sum(xs))
+            pf_solve_s = float("inf")
+            for _ in range(3):
+                bt = jnp.asarray(rng.random(ns * ns, np.float32)).reshape(ns, ns)
+                _ = float(jnp.sum(bt))
+                t0 = time.perf_counter()
+                xs, sinfo = struct_solve(bt)
+                _ = float(jnp.sum(xs))
+                pf_solve_s = min(pf_solve_s, time.perf_counter() - t0)
+            HS_SETUP, HS_SOLVE = 0.0123, 0.138
+            log(
+                f"PFMG-PCG 2-D {ns}^2: setup {pf_setup_s:.3f}s solve "
+                f"{pf_solve_s:.3f}s ({int(sinfo.iterations)} iters); vs hypre "
+                f"setup+solve {(HS_SETUP+HS_SOLVE)/(pf_setup_s+pf_solve_s):.3f}x "
+                f"(hypre per-GPU load is 1/4 of this grid)"
             )
 
-        xs, sinfo = struct_solve(bs)
-        _ = float(jnp.sum(xs))
-        pf_solve_s = float("inf")
-        for _ in range(3):
-            bt = jnp.asarray(rng.random(ns * ns, np.float32)).reshape(ns, ns)
-            _ = float(jnp.sum(bt))
+            # SMG-PCG on the same grid (hypre: 0.121 s setup + 0.577 s solve,
+            # benchmark_struct.perf.saved.lassen:2-3 — SMG's exact line solves
+            # cost more per cycle but iterate less)
+            from hypre_tpu.struct import SMG
+
+            def build_smg(Ax):
+                sm = SMG().setup(Ax)
+                jax.block_until_ready(sm.hierarchy.coarse_inv)
+                return sm
+
+            build_smg(dataclasses.replace(As, coeffs=As.coeffs * 2.0))
             t0 = time.perf_counter()
-            xs, sinfo = struct_solve(bt)
+            smg = build_smg(As)
+            _ = float(jnp.sum(smg.hierarchy.coarse_inv[:1, :1]))
+            smg_setup_s = time.perf_counter() - t0
+            Msm = smg.precond()
+
+            @jax.jit
+            def smg_solve(b):
+                from hypre_tpu.struct.matrix import struct_matvec
+
+                A0 = smg.hierarchy.levels[0].A
+                return _pcg(
+                    lambda v: struct_matvec(A0, v.reshape(ns, ns)).reshape(-1),
+                    b.reshape(-1),
+                    M=lambda r: Msm(r.reshape(ns, ns)).reshape(-1),
+                    rtol=1e-6,
+                    maxiter=100,
+                )
+
+            xs, minfo = smg_solve(bs)
             _ = float(jnp.sum(xs))
-            pf_solve_s = min(pf_solve_s, time.perf_counter() - t0)
-        HS_SETUP, HS_SOLVE = 0.0123, 0.138
-        log(
-            f"PFMG-PCG 2-D {ns}^2: setup {pf_setup_s:.3f}s solve "
-            f"{pf_solve_s:.3f}s ({int(sinfo.iterations)} iters); vs hypre "
-            f"setup+solve {(HS_SETUP+HS_SOLVE)/(pf_setup_s+pf_solve_s):.3f}x "
-            f"(hypre per-GPU load is 1/4 of this grid)"
-        )
-
-        # SMG-PCG on the same grid (hypre: 0.121 s setup + 0.577 s solve,
-        # benchmark_struct.perf.saved.lassen:2-3 — SMG's exact line solves
-        # cost more per cycle but iterate less)
-        from hypre_tpu.struct import SMG
-
-        def build_smg(Ax):
-            sm = SMG().setup(Ax)
-            jax.block_until_ready(sm.hierarchy.coarse_inv)
-            return sm
-
-        build_smg(dataclasses.replace(As, coeffs=As.coeffs * 2.0))
-        t0 = time.perf_counter()
-        smg = build_smg(As)
-        _ = float(jnp.sum(smg.hierarchy.coarse_inv[:1, :1]))
-        smg_setup_s = time.perf_counter() - t0
-        Msm = smg.precond()
-
-        @jax.jit
-        def smg_solve(b):
-            from hypre_tpu.struct.matrix import struct_matvec
-
-            A0 = smg.hierarchy.levels[0].A
-            return _pcg(
-                lambda v: struct_matvec(A0, v.reshape(ns, ns)).reshape(-1),
-                b.reshape(-1),
-                M=lambda r: Msm(r.reshape(ns, ns)).reshape(-1),
-                rtol=1e-6,
-                maxiter=100,
+            smg_solve_s = float("inf")
+            for _ in range(3):
+                bt = jnp.asarray(rng.random(ns * ns, np.float32)).reshape(ns, ns)
+                _ = float(jnp.sum(bt))
+                t0 = time.perf_counter()
+                xs, minfo = smg_solve(bt)
+                _ = float(jnp.sum(xs))
+                smg_solve_s = min(smg_solve_s, time.perf_counter() - t0)
+            HG_SETUP, HG_SOLVE = 0.121, 0.577
+            log(
+                f"SMG-PCG 2-D {ns}^2: setup {smg_setup_s:.3f}s solve "
+                f"{smg_solve_s:.3f}s ({int(minfo.iterations)} iters); vs hypre "
+                f"setup+solve {(HG_SETUP+HG_SOLVE)/(smg_setup_s+smg_solve_s):.3f}x"
             )
-
-        xs, minfo = smg_solve(bs)
-        _ = float(jnp.sum(xs))
-        smg_solve_s = float("inf")
-        for _ in range(3):
-            bt = jnp.asarray(rng.random(ns * ns, np.float32)).reshape(ns, ns)
-            _ = float(jnp.sum(bt))
-            t0 = time.perf_counter()
-            xs, minfo = smg_solve(bt)
-            _ = float(jnp.sum(xs))
-            smg_solve_s = min(smg_solve_s, time.perf_counter() - t0)
-        HG_SETUP, HG_SOLVE = 0.121, 0.577
-        log(
-            f"SMG-PCG 2-D {ns}^2: setup {smg_setup_s:.3f}s solve "
-            f"{smg_solve_s:.3f}s ({int(minfo.iterations)} iters); vs hypre "
-            f"setup+solve {(HG_SETUP+HG_SOLVE)/(smg_setup_s+smg_solve_s):.3f}x"
-        )
+      except Exception as e:  # pragma: no cover - device-dependent
+          log(f"struct section FAILED: {e!r}")
 
     total = setup_s + solve_s
     hypre_total = HYPRE_SETUP_S + HYPRE_SOLVE_S
@@ -438,12 +454,19 @@ def main():
                 "refined_true_rel_res": rel_ref,
                 "spmv_gbps": round(gbps, 1),
                 "spmv_roofline_frac": round(roofline_frac, 3),
-                "p27_setup_seconds": round(setup27_s, 4),
-                "p27_solve_seconds": round(solve27_s, 4),
-                "p27_iterations": int(info27.iterations),
-                "p27_true_rel_res": true27,
-                "p27_vs_baseline": round(
-                    (H27_SETUP + H27_SOLVE) / (setup27_s + solve27_s), 4
+                **(
+                    {
+                        "p27_setup_seconds": round(setup27_s, 4),
+                        "p27_solve_seconds": round(solve27_s, 4),
+                        "p27_iterations": int(info27.iterations),
+                        "p27_true_rel_res": true27,
+                        "p27_vs_baseline": round(
+                            (H27_SETUP + H27_SOLVE)
+                            / (setup27_s + solve27_s), 4
+                        ),
+                    }
+                    if info27 is not None
+                    else {}
                 ),
                 **(
                     {
