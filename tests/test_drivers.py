@@ -64,6 +64,11 @@ STRUCT_GOLDEN = [
     ("-solver 12 -n 16 16 1 -jump 1 -tol 1e-8", 8, 2.631e-09),
     ("-solver 21 -n 16 16 1 -tol 1e-8", 7, 2.093e-09),
     ("-solver 32 -n 16 16 1 -tol 1e-8", 6, 6.423e-10),
+    # hypre TEST_struct solvers.saved np=1 cases: DSCG and plain CG both
+    # print 20 iters / 5.962015e-07 on the default 10^3 problem — matched
+    # here to every printed digit (see tests/test_hypre_parity.py)
+    ("-solver 17 -n 10 10 10 -tol 1e-6", 20, 5.963e-07),
+    ("-solver 18 -n 10 10 10 -tol 1e-6", 20, 5.963e-07),
 ]
 
 
