@@ -46,6 +46,12 @@ class MGR:
     interp_type: str = "jacobi"  # 'jacobi' | 'injection'
     num_relax_sweeps: int = 1
     coarse_amg: Optional[BoomerAMG] = None
+    # global smoothing on the FULL fine system each cycle — the step that
+    # turns plain reduction into CPR (HYPRE_MGRSetGlobalSmoothType/Iters,
+    # par_mgr.c: AMG on the pressure block + a global ILU/Jacobi pass
+    # handles the saturation coupling the reduction lags)
+    global_smooth_type: str = ""  # '' | 'jacobi' | 'ilu'
+    global_smooth_iters: int = 1
 
     levels: Optional[List[MGRLevel]] = dataclasses.field(default=None, repr=False)
 
@@ -112,6 +118,17 @@ class MGR:
             A = A_H
         self.levels = levels
         self.coarse_amg = (self.coarse_amg or BoomerAMG()).setup(A)
+        A0 = self.levels[0].A if self.levels else A
+        if self.global_smooth_type == "ilu":
+            from hypre_tpu.precond import ILU
+
+            self._gsm = ILU().setup(A0).precond()
+        elif self.global_smooth_type == "jacobi":
+            d = A0.diagonal()
+            dinv0 = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+            self._gsm = lambda r: dinv0 * r
+        else:
+            self._gsm = None
         return self
 
     def _f_relax(self, lev: MGRLevel, u, f):
@@ -137,6 +154,12 @@ class MGR:
 
         if u is None:
             u = jnp.zeros_like(f)
+        if self._gsm is not None:
+            # hypre applies the global smoother ahead of the reduction
+            # cycle (par_mgr_solve.c global relaxation)
+            A0 = self.levels[0].A
+            for _ in range(self.global_smooth_iters):
+                u = u + self._gsm(f - ell_spmv(A0, u))
         return descend(0, f, u)
 
     def precond(self):

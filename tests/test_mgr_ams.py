@@ -136,3 +136,27 @@ def test_ams_beats_jacobi_on_curl_curl():
         int(i1.iterations),
         int(i0.iterations),
     )
+
+
+def test_mgr_global_ilu_smoothing_halves_iterations():
+    """CPR-style MGR (HYPRE_MGRSetGlobalSmoothType, par_mgr.c): a global
+    ILU pass on the full system each cycle handles the coupling the
+    reduction lags. Measured: FlexGMRES 20 iters bare -> 10 with global
+    ILU on the block system."""
+    from hypre_tpu.krylov import flexgmres
+
+    A, m = _block_system(12)
+    cpts = [np.arange(m, 2 * m)]
+    b = jnp.ones(A.n_rows, A.dtype)
+
+    def iters(**kw):
+        mgr = MGR(**kw).setup(A, cpts)
+        _, info = flexgmres(lambda v: ell_spmv(A, v), b, M=mgr.precond(),
+                            rtol=1e-8, maxiter=200)
+        assert bool(info.converged)
+        return int(info.iterations)
+
+    bare = iters()
+    cpr = iters(global_smooth_type="ilu")
+    assert cpr < bare, (cpr, bare)
+    assert cpr <= 12
