@@ -32,9 +32,10 @@ def build(Ax, tag):
     )
     t1 = time.perf_counter()
     fast = optimize_hierarchy(hier, gather_precision=0)
-    for lev in fast.levels:
-        jax.block_until_ready(lev.dinv)
-    jax.block_until_ready(fast.coarse_inv)
+    # block on the FULL result pytree (the DIA/BandedEll conversions are
+    # dispatched asynchronously; blocking only on dinv/coarse_inv — which
+    # pass through unchanged — under-reported this phase)
+    jax.block_until_ready(jax.tree_util.tree_leaves(fast))
     t2 = time.perf_counter()
     print(f"[{tag}] setup_hierarchy_device: {t1-t0:.3f}s  "
           f"optimize_hierarchy+sync: {t2-t1:.3f}s  total {t2-t0:.3f}s",
