@@ -47,6 +47,12 @@ C_PT = 1
 F_PT = -1
 _BIG = jnp.int32(2**30)
 
+# element budget for shift-structured candidate slabs: beyond this the slot
+# loop is blocked into progressive merges (several copies of the slab live
+# at once during the merge sorts, and XLA's slot-concat can materialize a
+# 3-D (k, n, w) stack whose minor dim lane-pads to 128)
+_SLOT_BLOCK_BUDGET = 96e6
+
 
 # ---------------------------------------------------------------------------
 # gather strategies
@@ -373,6 +379,78 @@ def ext_plus_i_device(
     else:
         cand1_cols_slab, own_cols = out_cols
 
+    if shifts is not None and n * ks * (2 * ks + 1) > _SLOT_BLOCK_BUDGET:
+        # 27-pt-class stencil level: the one-shot packed gathers are
+        # (n, ks*(1+ks)) + (n, ks*ks) slabs (12 GB+ at 128^3/27-pt before
+        # XLA's lane-padded stack intermediates) — process strong slots in
+        # blocks and progressively merge (see spgemm_slab's blocked path
+        # for the req/growth contract).
+        W = 1 + ks
+        thetaC = jnp.where(
+            s_valid, shift_gather_rows(packed_f_src[:, 0], shifts), 0.0
+        )
+        theta = thetaC + back_hat
+        strongF = s_valid & ~s_is_c
+        strongC = s_valid & s_is_c
+        usable_F = strongF & (theta != 0)
+        theta_safe = jnp.where(theta != 0, theta, 1.0)
+        d_eff = (
+            diag
+            + weak_sum
+            + jnp.sum(
+                jnp.where(usable_F, svals * back_hat / theta_safe, 0), axis=1
+            )
+            + jnp.sum(jnp.where(strongF & (theta == 0), svals, 0), axis=1)
+        )
+        d_safe = jnp.where(d_eff != 0, d_eff, 1.0)
+        scale = (-1.0 / d_safe)[:, None]
+        is_f = (cf != C_PT)[:, None]
+        own = jnp.where(cf == C_PT, own_cols, PAD_COL)[:, None]
+        ones = jnp.where(cf == C_PT, 1.0, 0.0).astype(dtype)[:, None]
+        cand1_cols = jnp.where(
+            strongC & is_f, cand1_cols_slab, PAD_COL
+        )
+        cand1_vals = jnp.where(strongC & is_f, svals * scale, 0.0)
+        acc_c, acc_v, req = merge_slab(
+            jnp.concatenate([cand1_cols, own], axis=1),
+            jnp.concatenate([cand1_vals, ones], axis=1),
+            out_k,
+        )
+        coef = jnp.where(usable_F, svals / theta_safe, 0.0)
+        blk = max(1, int(_SLOT_BLOCK_BUDGET // (n * 2 * ks)))
+        for s0 in range(0, ks, blk):
+            sl = list(range(s0, min(s0 + blk, ks)))
+            nb = len(sl)
+            sh_blk = [shifts[s] for s in sl]
+            pf_blk = shift_gather_rows(packed_f_src, sh_blk, flat=True)
+            nb_cols = shift_gather_rows(
+                packed_i_src, sh_blk, fill=PAD_COL, flat=True
+            )
+            keep_idx = jnp.asarray(
+                [a * W + 1 + c for a in range(nb) for c in range(ks)],
+                jnp.int32,
+            )
+            nb_hat = jnp.take(pf_blk, keep_idx, axis=1)
+            rep = lambda x: jnp.repeat(x, ks, axis=1)
+            through = rep(usable_F[:, sl[0]:sl[-1] + 1]) & (nb_cols >= 0)
+            c2 = jnp.where(through & is_f, nb_cols, PAD_COL)
+            v2 = jnp.where(
+                c2 >= 0,
+                rep(coef[:, sl[0]:sl[-1] + 1]) * nb_hat * scale,
+                0.0,
+            )
+            acc_c, acc_v, r = merge_slab(
+                jnp.concatenate([acc_c, c2], axis=1),
+                jnp.concatenate([acc_v, v2], axis=1),
+                out_k,
+            )
+            req = jnp.maximum(req, r)
+        acc_c, acc_v, _ = merge_slab(
+            acc_c, acc_v, out_k, max_elmts=p_max_elmts,
+            trunc_factor=trunc_factor, rescale_rowsum=True,
+        )
+        return acc_c, acc_v, req
+
     def chunk_fn(scols_cc, svals_c, s_valid_c, s_is_c_c, back_c, diag_c,
                  weak_c, cf_c, rows_c, strongC_cols_c):
         if shifts is not None:
@@ -476,6 +554,49 @@ def spgemm_slab(
     """
     n, kA = a_cols.shape
     kB = b_cols.shape[1]
+
+    if shifts is not None and n * kA * kB > _SLOT_BLOCK_BUDGET:
+        # 27-pt-class stencils: the full (n, kA*kB) candidate slab (and the
+        # 3-D (kA, n, kB) stack XLA materializes for the slot concat, minor
+        # dim lane-padded 27->128) blows HBM — 29 GB on the 128^3 27-pt
+        # (round-2 OOM). Process A-slots in blocks, progressively merging
+        # each block's candidates into a width-out_k accumulator. If out_k
+        # ever truncates, some intermediate merge reports req > out_k and
+        # the caller's growth protocol retries — so a returned req <= out_k
+        # certifies the result exact, same contract as the one-shot path.
+        blk = max(1, int(_SLOT_BLOCK_BUDGET // (n * kB)))
+        acc_c = jnp.full((n, out_k), PAD_COL, jnp.int32)
+        acc_v = jnp.zeros((n, out_k), a_vals.dtype)
+        req = jnp.int32(0)
+        for s0 in range(0, kA, blk):
+            sl = list(range(s0, min(s0 + blk, kA)))
+            nb = len(sl)
+            gb_cols = shift_gather_rows(
+                b_cols, [shifts[s] for s in sl], fill=PAD_COL, flat=True
+            )
+            gb_vals = shift_gather_rows(
+                b_vals, [shifts[s] for s in sl], flat=True
+            )
+            ac = a_cols[:, sl[0]:sl[-1] + 1]
+            av = a_vals[:, sl[0]:sl[-1] + 1]
+            rep = lambda x: jnp.repeat(x, kB, axis=1)
+            a_valid = rep(ac >= 0)
+            cand_cols = jnp.where(a_valid & (gb_cols >= 0), gb_cols, PAD_COL)
+            cand_vals = jnp.where(cand_cols >= 0, rep(av) * gb_vals, 0.0)
+            acc_c, acc_v, r = merge_slab(
+                jnp.concatenate([acc_c, cand_cols], axis=1),
+                jnp.concatenate([acc_v, cand_vals], axis=1),
+                out_k,
+            )
+            req = jnp.maximum(req, r)
+        if max_elmts > 0 or trunc_factor > 0.0 or rescale_rowsum:
+            # truncation/rescale must see the FULL merged row — applied once
+            # at the end (merging an already-unique slab is idempotent)
+            acc_c, acc_v, _ = merge_slab(
+                acc_c, acc_v, out_k, max_elmts=max_elmts,
+                trunc_factor=trunc_factor, rescale_rowsum=rescale_rowsum,
+            )
+        return acc_c, acc_v, req
 
     def chunk_fn(ac, av):
         aco = jnp.maximum(ac, 0)
@@ -1237,8 +1358,14 @@ def multipass_interp_device(
     for p in range(1, max_passes + 1):
         nb_pass = _gather_rows(passno, cols_c, shifts)
         lower = s_valid & (nb_pass >= 0) & (nb_pass < p)
-        gc = _gather_rows(pc, cols_c, shifts).reshape(n, ks * width)
-        gv = _gather_rows(pv, cols_c, shifts).reshape(n, ks * width)
+        if shifts is not None:
+            # flat concat, not stack: a 3-D (n, ks, width) stack lane-pads
+            # its minor dim to 128 on TPU (27-pt: 27 GB of padding)
+            gc = shift_gather_rows(pc, shifts, fill=PAD_COL, flat=True)
+            gv = shift_gather_rows(pv, shifts, flat=True)
+        else:
+            gc = _gather_rows(pc, cols_c, None).reshape(n, ks * width)
+            gv = _gather_rows(pv, cols_c, None).reshape(n, ks * width)
         rep = lambda x: jnp.repeat(x, width, axis=1)
         coef = rep(jnp.where(lower, -svals / d_safe[:, None], 0.0))
         cand_c = jnp.where(rep(lower) & (gc >= 0), gc, PAD_COL)

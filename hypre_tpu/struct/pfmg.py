@@ -23,7 +23,7 @@ import numpy as np
 
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.struct.matrix import StructMatrix, struct_matvec
-from hypre_tpu.struct.probe import probe_stencil
+from hypre_tpu.struct.probe import probe_stencil, semi_rap_apply
 from hypre_tpu.struct.relax import (
     diag_inverse,
     parity_mask,
@@ -109,11 +109,12 @@ class PFMG:
             )
             ext = tuple(max(e, 0) for e in ext)
             Ac = probe_stencil(
-                lambda xc: P.apply_t(struct_matvec(A, P.apply(xc))),
+                semi_rap_apply,
                 cshape,
                 ext,
                 A.dtype,
                 periodic=A.periodic,
+                operands=(A, P),
             )
             levels.append(
                 PFMGLevel(

@@ -15,37 +15,92 @@ j === c, so (A x_c)[i] reads off a single coefficient. Probing the *composed*
 because the probe exercises the true operator, ghost handling included.
 
 This is the structured-grid version of graph-coloring-based Jacobian
-compression (Curtis-Powell-Reid); on TPU every probe is a handful of fused
-shifted multiplies, so the whole 27-probe 3-D RAP costs less than one
-fine-grid matvec per probe.
+compression (Curtis-Powell-Reid).
+
+Orchestration (the round-3 redesign): ALL probes of a level run in ONE
+jitted program — probe construction, the vmapped operator applies, the
+per-offset coefficient extraction (mask-sums over the probe class array;
+no element gathers), and the is-zero prune flags. One dispatch + one small
+flags readback per level. When ``apply_fn`` is a stable module-level
+function taking the level's matrices through ``operands`` (a pytree), the
+program is cached by jit across levels and across repeated setups of the
+same shape — a warm PFMG/SMG rebuild issues one cached dispatch per level
+instead of recompiling per-closure as round 2 did (73.5 s -> sub-second).
 """
 
 from __future__ import annotations
 
 import itertools
+from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-from hypre_tpu.struct.matrix import StructMatrix
+from hypre_tpu.struct.matrix import StructMatrix, struct_matvec
 from hypre_tpu.struct.stencil import StructStencil
 
 
+def semi_rap_apply(xc: jax.Array, A: StructMatrix, P) -> jax.Array:
+    """The composed coarse operator P^T A P — the probe target shared by
+    PFMG/SMG/SparseMSG setup (stable function => jit-cacheable probes)."""
+    return P.apply_t(struct_matvec(A, P.apply(xc)))
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "shape", "mods", "offsets",
+                                   "dtype"))
+def _probe_program(apply_fn, shape, mods, offsets, dtype, operands):
+    """One fused program: build the (prod(mods), *shape) lattice indicator
+    probes, push them through ``apply_fn`` (vmapped), and read off every
+    offset's coefficient array plus its any-nonzero prune flag."""
+    ndim = len(shape)
+    iotas = [lax.broadcasted_iota(jnp.int32, shape, d) for d in range(ndim)]
+    cls = jnp.zeros(shape, jnp.int32)
+    for d in range(ndim):
+        cls = cls * mods[d] + iotas[d] % mods[d]
+    n_probe = int(np.prod(mods))
+    pid = jnp.arange(n_probe, dtype=jnp.int32).reshape(
+        (n_probe,) + (1,) * ndim
+    )
+    probes = (cls[None] == pid).astype(dtype)
+    Y = jax.vmap(lambda x: apply_fn(x, *operands))(probes)
+
+    coeffs = []
+    for off in offsets:
+        # coefficient for offset o at point i lives in probe class(i + o);
+        # extracted as a mask-sum over the (few) probes — vector work only
+        cls_o = jnp.zeros(shape, jnp.int32)
+        for d in range(ndim):
+            cls_o = cls_o * mods[d] + (iotas[d] + off[d]) % mods[d]
+        c = jnp.zeros(shape, dtype)
+        for p in range(n_probe):
+            c = c + jnp.where(cls_o == p, Y[p], jnp.zeros((), dtype))
+        coeffs.append(c)
+    C = jnp.stack(coeffs)
+    flags = jnp.any(C.reshape((len(offsets), -1)) != 0, axis=1)
+    return C, flags
+
+
 def probe_stencil(
-    apply_fn: Callable[[jax.Array], jax.Array],
+    apply_fn: Callable[..., jax.Array],
     shape: tuple[int, ...],
     extent: tuple[int, ...],
     dtype,
     prune: bool = True,
     periodic: tuple[bool, ...] | None = None,
+    operands: tuple = (),
 ) -> StructMatrix:
     """Recover the StructMatrix of a linear ``apply_fn`` on grid ``shape``.
 
     extent: per-dim stencil extent bound (over-estimates are safe).
     prune: drop offsets whose recovered coefficient array is identically 0
     (e.g. Galerkin RAP of a 7-pt operator is 19-pt, not the full 27 box).
+    operands: extra pytree arguments passed as ``apply_fn(x, *operands)`` —
+    pass the level's matrices here (and a stable module-level ``apply_fn``,
+    e.g. ``semi_rap_apply``) so the probe program caches across setups.
+    Closures still work but recompile per call.
 
     Periodic dims: the lattice-class identification ``class(j) = class(i+o)``
     survives wraparound iff the modulus divides the grid size (j = i+o-N and
@@ -71,37 +126,27 @@ def probe_stencil(
         return shape[d]
 
     mods = tuple(pick_mod(d) for d in range(ndim))
+    offsets = tuple(
+        itertools.product(*(range(-e, e + 1) for e in extent))
+    )
 
-    # lattice indicator probes, applied through the (jitted) operator
-    probes = []
-    apply_jit = jax.jit(apply_fn)
-    for c in itertools.product(*(range(m) for m in mods)):
-        x = np.zeros(shape, dtype=dtype)
-        x[tuple(slice(ci, None, mi) for ci, mi in zip(c, mods))] = 1
-        probes.append(apply_jit(jnp.asarray(x)))
-    Y = jnp.stack(probes)  # (prod(mods), *shape)
-
-    # coefficient for offset o at point i lives in probe class (i + o) mod m
-    idx = np.indices(shape)  # (ndim, *shape)
-    offsets = list(itertools.product(*(range(-e, e + 1) for e in extent)))
-    coeffs = []
-    for off in offsets:
-        cls = np.zeros(shape, dtype=np.int64)
-        for d in range(ndim):
-            cls = cls * mods[d] + (idx[d] + off[d]) % mods[d]
-        coeffs.append(jnp.take_along_axis(Y, jnp.asarray(cls)[None], axis=0)[0])
+    C, flags = _probe_program(
+        apply_fn, tuple(shape), mods, offsets, jnp.dtype(dtype), operands
+    )
 
     if prune:
+        flags_h = np.asarray(flags)  # the level's single small readback
         keep = [
             s
-            for s, c in enumerate(coeffs)
-            if offsets[s] == (0,) * ndim or bool(jnp.any(c != 0))
+            for s in range(len(offsets))
+            if offsets[s] == (0,) * ndim or bool(flags_h[s])
         ]
-        offsets = [offsets[s] for s in keep]
-        coeffs = [coeffs[s] for s in keep]
+        if len(keep) < len(offsets):
+            offsets = tuple(offsets[s] for s in keep)
+            C = C[np.asarray(keep)]
 
     return StructMatrix(
-        coeffs=jnp.stack(coeffs),
+        coeffs=C,
         stencil=StructStencil(tuple(offsets)),
         shape=tuple(shape),
         periodic=periodic,

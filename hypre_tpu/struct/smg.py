@@ -38,7 +38,7 @@ import numpy as np
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.struct.cycred import pcr_solve
 from hypre_tpu.struct.matrix import StructMatrix, shift, struct_matvec
-from hypre_tpu.struct.probe import probe_stencil
+from hypre_tpu.struct.probe import probe_stencil, semi_rap_apply
 from hypre_tpu.struct.semi import SemiInterp, coarse_shape, semi_interp_from_matrix
 
 
@@ -162,11 +162,12 @@ def build_plane_smg(A: StructMatrix, cdir: int, max_levels: int = 25) -> PlaneSM
             for d in range(T.ndim)
         )
         Tc = probe_stencil(
-            lambda xc: P.apply_t(struct_matvec(T, P.apply(xc))),
+            semi_rap_apply,
             cshape,
             ext,
             T.dtype,
             periodic=T.periodic,
+            operands=(T, P),
         )
         levels.append(
             PlaneLevel(
@@ -284,11 +285,12 @@ class SMG:
                 1 if d == cdir else A.stencil.extent[d] for d in range(A.ndim)
             )
             Ac = probe_stencil(
-                lambda xc: P.apply_t(struct_matvec(A, P.apply(xc))),
+                semi_rap_apply,
                 cshape,
                 ext,
                 A.dtype,
                 periodic=A.periodic,
+                operands=(A, P),
             )
             plane = (
                 build_plane_smg(A, cdir)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from hypre_tpu.core.config import ConvergenceInfo, make_convergence_info
 from hypre_tpu.struct.matrix import StructMatrix, struct_matvec
-from hypre_tpu.struct.probe import probe_stencil
+from hypre_tpu.struct.probe import probe_stencil, semi_rap_apply
 from hypre_tpu.struct.relax import (
     diag_inverse, parity_mask, red_black_gs, weighted_jacobi,
 )
@@ -95,11 +95,12 @@ class SparseMSG:
                     for i in range(ndim)
                 )
                 self.A[g] = probe_stencil(
-                    lambda xc: Pd.apply_t(struct_matvec(Ap, Pd.apply(xc))),
+                    semi_rap_apply,
                     coarse_shape(Ap.shape, d),
                     ext,
                     Ap.dtype,
                     periodic=Ap.periodic,
+                    operands=(Ap, Pd),
                 )
             Ag = self.A[g]
             self.dinv[g] = diag_inverse(Ag)

@@ -311,3 +311,80 @@ def test_transfer_dia_matches_ell_transfers():
         np.asarray(T.mv_t(r)), np.asarray(ell_spmv_t(P, r)), rtol=1e-5,
         atol=1e-5,
     )
+
+
+def test_spgemm_slab_slot_blocked_matches_oneshot(monkeypatch):
+    """The 27-pt-class slot-blocked progressive merge (device_setup
+    _SLOT_BLOCK_BUDGET path) must agree with the one-shot slab exactly."""
+    from hypre_tpu.amg import device_setup as ds
+
+    A = laplacian_3d_7pt(6, 5, 4)
+    S = strength_mask(A, 0.25)
+    cf = pmis(A, S)
+    cmap, n_c = coarse_map(cf)
+    P = ext_plus_i_interp(A, S, cf, cmap, int(n_c))
+    ref_c, ref_v, ref_req = spgemm_slab(
+        A.cols, A.vals, P.cols, P.vals, out_k=32, shifts=A.shifts
+    )
+    monkeypatch.setattr(ds, "_SLOT_BLOCK_BUDGET", 1.0)  # force blocking
+    cc, cv, req = spgemm_slab(
+        A.cols, A.vals, P.cols, P.vals, out_k=32, shifts=A.shifts
+    )
+    assert int(req) <= 32 and int(req) == int(ref_req)
+    np.testing.assert_allclose(
+        _dense(cc, cv, int(n_c)), _dense(ref_c, ref_v, int(n_c)),
+        rtol=1e-6, atol=1e-8,
+    )
+    # truncation options applied once at the end must also agree
+    ref2 = spgemm_slab(A.cols, A.vals, P.cols, P.vals, out_k=32, shifts=None,
+                       max_elmts=4, rescale_rowsum=True)
+    blk2 = spgemm_slab(A.cols, A.vals, P.cols, P.vals, out_k=32,
+                       shifts=A.shifts, max_elmts=4, rescale_rowsum=True)
+    np.testing.assert_allclose(
+        _dense(blk2[0], blk2[1], int(n_c)), _dense(ref2[0], ref2[1], int(n_c)),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_extpi_slot_blocked_matches_oneshot(monkeypatch):
+    from hypre_tpu.amg import device_setup as ds
+
+    A = laplacian_3d_7pt(6, 5, 4)
+    _, scols, svals, _ = strength_and_cap(A, 0.25, s_cap=A.k, shifts=A.shifts)
+    cf = pmis_device(scols, A.n_rows, shifts=A.shifts)
+    ref_c, ref_v, ref_req = ext_plus_i_device(
+        A, scols, svals, cf, out_k=32, shifts=A.shifts
+    )
+    monkeypatch.setattr(ds, "_SLOT_BLOCK_BUDGET", 1.0)
+    pc, pv, req = ext_plus_i_device(
+        A, scols, svals, cf, out_k=32, shifts=A.shifts
+    )
+    assert int(req) <= 32
+    np.testing.assert_allclose(
+        _dense(pc, pv, A.n_rows), _dense(ref_c, ref_v, A.n_rows),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_setup_hierarchy_device_27pt_blocked(monkeypatch):
+    """End-to-end device setup on a 27-pt operator through the blocked
+    paths (the BASELINE-named problem class that OOMed in round 2)."""
+    from hypre_tpu.amg import device_setup as ds
+    from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.problems.laplacian import laplacian_3d_27pt
+    from hypre_tpu.seq.ell import ell_spmv
+
+    A = laplacian_3d_27pt(10, 9, 8)
+    monkeypatch.setattr(ds, "_SLOT_BLOCK_BUDGET", 1e4)  # force blocking
+    hier = setup_hierarchy_device(A, max_coarse_size=80, agg_num_levels=1)
+    smoother = make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows), A.dtype)
+    x, info = pcg(
+        lambda v: ell_spmv(A, v), b,
+        M=lambda r: amg_cycle(hier, r, smoother=smoother),
+        rtol=1e-8, maxiter=60,
+    )
+    assert bool(info.converged), f"{info}"
+    r = b - ell_spmv(A, x)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
