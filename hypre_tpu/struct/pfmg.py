@@ -21,9 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.struct.matrix import StructMatrix, struct_matvec
-from hypre_tpu.struct.probe import probe_stencil, semi_rap_apply
+from hypre_tpu.struct.probe import (
+    probe_core, probe_plan, probe_stencil, semi_rap_apply,
+)
 from hypre_tpu.struct.relax import (
     diag_inverse,
     parity_mask,
@@ -31,23 +35,60 @@ from hypre_tpu.struct.relax import (
     weighted_jacobi,
 )
 from hypre_tpu.struct.semi import SemiInterp, coarse_shape, semi_interp_from_matrix
+from hypre_tpu.struct.stencil import StructStencil
+
+
+@jax.jit
+def _jit_coarse_pinv(A: StructMatrix) -> jax.Array:
+    return jnp.linalg.pinv(A.to_dense())
+
+
+@jax.jit
+def _jit_cxyz(A: StructMatrix) -> jax.Array:
+    """Per-dim coupling strengths (one dispatch, one small readback — the
+    old per-offset ``float(jnp.mean(...))`` loop issued S*ndim blocking
+    eager dispatches per level, which dominated PFMG setup on the tunnel)."""
+    acc = []
+    for d in range(A.ndim):
+        terms = [
+            jnp.mean(jnp.abs(A.coeffs[s]))
+            for s, off in enumerate(A.stencil.offsets)
+            if off[d] != 0
+        ]
+        acc.append(sum(terms) if terms else jnp.zeros((), A.dtype))
+    return jnp.stack(acc)
 
 
 def compute_dxyz(A: StructMatrix) -> np.ndarray:
     """Effective mesh sizes from matrix coefficients
     (hypre_PFMGComputeDxyz, pfmg_setup.c:768): coupling strength per dim
     c_d = mean |off-diagonal mass| in that dim; dxyz_d = 1/sqrt(c_d)."""
-    cxyz = []
-    for d in range(A.ndim):
-        acc = 0.0
-        for s, off in enumerate(A.stencil.offsets):
-            if off[d] != 0:
-                acc += float(jnp.mean(jnp.abs(A.coeffs[s])))
-        cxyz.append(acc)
-    cxyz = np.asarray(cxyz)
+    cxyz = np.asarray(_jit_cxyz(A), np.float64)
     cmax = cxyz.max() if cxyz.max() > 0 else 1.0
     cxyz = np.where(cxyz > 0, cxyz, 1e-30 * cmax)
     return 1.0 / np.sqrt(cxyz)
+
+
+@partial(jax.jit, static_argnames=("cdir", "mods", "offsets"))
+def _pfmg_level_program(A: StructMatrix, cdir: int, mods, offsets):
+    """One dispatch per level: operator-induced semicoarsening interp
+    (pfmg_setup_interp.c), the probed Galerkin coarse stencil
+    (pfmg_setup_rap*.c), prune flags, diag inverse and the RB mask."""
+    P = semi_interp_from_matrix(A, cdir)
+    cshape = coarse_shape(A.shape, cdir)
+    C, flags = probe_core(
+        semi_rap_apply, cshape, mods, offsets, A.dtype, (A, P)
+    )
+    dinv = diag_inverse(A)
+    red = (
+        sum(
+            jax.lax.broadcasted_iota(jnp.int32, A.shape, d)
+            for d in range(A.ndim)
+        )
+        % 2
+        == 0
+    )
+    return P, C, flags, dinv, red
 
 
 @jax.tree_util.register_dataclass
@@ -102,31 +143,31 @@ class PFMG:
             dxyz = dxyz.copy()
             dxyz[cdir] *= 2
 
-            P = semi_interp_from_matrix(A, cdir)
             cshape = coarse_shape(A.shape, cdir)
             ext = tuple(
-                1 if d == cdir else A.stencil.extent[d] for d in range(A.ndim)
+                max(1 if d == cdir else A.stencil.extent[d], 0)
+                for d in range(A.ndim)
             )
-            ext = tuple(max(e, 0) for e in ext)
-            Ac = probe_stencil(
-                semi_rap_apply,
-                cshape,
-                ext,
-                A.dtype,
+            mods, offsets = probe_plan(cshape, ext, A.periodic)
+            P, C, flags, dinv, red = _pfmg_level_program(
+                A, cdir, mods, offsets
+            )
+            flags_h = np.asarray(flags)  # the level's one small readback
+            keep = [
+                s
+                for s in range(len(offsets))
+                if offsets[s] == (0,) * A.ndim or bool(flags_h[s])
+            ]
+            Ac = StructMatrix(
+                coeffs=C[np.asarray(keep)] if len(keep) < len(offsets) else C,
+                stencil=StructStencil(tuple(offsets[s] for s in keep)),
+                shape=cshape,
                 periodic=A.periodic,
-                operands=(A, P),
             )
-            levels.append(
-                PFMGLevel(
-                    A=A,
-                    P=P,
-                    dinv=diag_inverse(A),
-                    red=jnp.asarray(parity_mask(A.shape)),
-                )
-            )
+            levels.append(PFMGLevel(A=A, P=P, dinv=dinv, red=red))
             A = Ac
 
-        coarse_inv = jnp.linalg.pinv(A.to_dense())
+        coarse_inv = _jit_coarse_pinv(A)
         self.hierarchy = PFMGHierarchy(
             levels=levels, coarse_inv=coarse_inv, coarse_shape=A.shape
         )

@@ -49,12 +49,12 @@ def semi_rap_apply(xc: jax.Array, A: StructMatrix, P) -> jax.Array:
     return P.apply_t(struct_matvec(A, P.apply(xc)))
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "shape", "mods", "offsets",
-                                   "dtype"))
-def _probe_program(apply_fn, shape, mods, offsets, dtype, operands):
-    """One fused program: build the (prod(mods), *shape) lattice indicator
-    probes, push them through ``apply_fn`` (vmapped), and read off every
-    offset's coefficient array plus its any-nonzero prune flag."""
+def probe_core(apply_fn, shape, mods, offsets, dtype, operands):
+    """The traceable probe body: build the (prod(mods), *shape) lattice
+    indicator probes, push them through ``apply_fn`` (vmapped), and read off
+    every offset's coefficient array plus its any-nonzero prune flag.
+    Callable from inside larger fused setup programs (pfmg.py/smg.py level
+    programs) as well as via the jitted ``_probe_program`` wrapper."""
     ndim = len(shape)
     iotas = [lax.broadcasted_iota(jnp.int32, shape, d) for d in range(ndim)]
     cls = jnp.zeros(shape, jnp.int32)
@@ -81,6 +81,34 @@ def _probe_program(apply_fn, shape, mods, offsets, dtype, operands):
     C = jnp.stack(coeffs)
     flags = jnp.any(C.reshape((len(offsets), -1)) != 0, axis=1)
     return C, flags
+
+
+_probe_program = partial(jax.jit, static_argnames=(
+    "apply_fn", "shape", "mods", "offsets", "dtype"))(probe_core)
+
+
+def probe_plan(shape, extent, periodic):
+    """Probe lattice moduli + candidate offsets for a stencil of ``extent``
+    on ``shape`` (periodic dims need a modulus dividing the grid size)."""
+    ndim = len(shape)
+
+    def pick_mod(d: int) -> int:
+        need = 2 * extent[d] + 1
+        if not periodic[d]:
+            return need
+        if shape[d] < need:
+            raise NotImplementedError(
+                f"periodic dim {d}: grid size {shape[d]} smaller than the "
+                f"stencil span {need}; the wrapped operator is not a stencil"
+            )
+        for m in range(need, shape[d] + 1):
+            if shape[d] % m == 0:
+                return m
+        return shape[d]
+
+    mods = tuple(pick_mod(d) for d in range(ndim))
+    offsets = tuple(itertools.product(*(range(-e, e + 1) for e in extent)))
+    return mods, offsets
 
 
 def probe_stencil(
@@ -110,25 +138,7 @@ def probe_stencil(
     """
     ndim = len(shape)
     periodic = periodic or (False,) * ndim
-
-    def pick_mod(d: int) -> int:
-        need = 2 * extent[d] + 1
-        if not periodic[d]:
-            return need
-        if shape[d] < need:
-            raise NotImplementedError(
-                f"periodic dim {d}: grid size {shape[d]} smaller than the "
-                f"stencil span {need}; the wrapped operator is not a stencil"
-            )
-        for m in range(need, shape[d] + 1):
-            if shape[d] % m == 0:
-                return m
-        return shape[d]
-
-    mods = tuple(pick_mod(d) for d in range(ndim))
-    offsets = tuple(
-        itertools.product(*(range(-e, e + 1) for e in extent))
-    )
+    mods, offsets = probe_plan(shape, extent, periodic)
 
     C, flags = _probe_program(
         apply_fn, tuple(shape), mods, offsets, jnp.dtype(dtype), operands

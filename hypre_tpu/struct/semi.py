@@ -101,8 +101,9 @@ def semi_interp_from_matrix(A: StructMatrix, cdir: int) -> SemiInterp:
     w_lo = jnp.where(center != 0, -lo / safe, 0.0)
     w_hi = jnp.where(center != 0, -hi / safe, 0.0)
     # zero the weights at C-points (even index in cdir) — P injects there
-    idx = np.indices(A.shape)[cdir] % 2
-    odd = jnp.asarray(idx == 1)
+    # (broadcasted_iota, not np.indices: this runs inside the fused
+    # per-level setup programs and must not bake an n-sized constant)
+    odd = jax.lax.broadcasted_iota(jnp.int32, A.shape, cdir) % 2 == 1
     if A.periodic and A.periodic[cdir] and A.shape[cdir] % 2 != 0:
         raise NotImplementedError(
             "semicoarsening a periodic dim requires an even grid size "

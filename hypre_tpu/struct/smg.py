@@ -35,11 +35,62 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from hypre_tpu.core.config import make_convergence_info, ConvergenceInfo
 from hypre_tpu.struct.cycred import pcr_solve
 from hypre_tpu.struct.matrix import StructMatrix, shift, struct_matvec
-from hypre_tpu.struct.probe import probe_stencil, semi_rap_apply
+from hypre_tpu.struct.probe import (
+    probe_core, probe_plan, probe_stencil, semi_rap_apply,
+)
 from hypre_tpu.struct.semi import SemiInterp, coarse_shape, semi_interp_from_matrix
+from hypre_tpu.struct.stencil import StructStencil
+
+
+@partial(jax.jit, static_argnames=("cdir", "mods", "offsets"))
+def _smg_level_program(A: StructMatrix, cdir: int, mods, offsets):
+    """One dispatch per (plane-)level: interp weights, probed Galerkin
+    coarse stencil + prune flags, and the cdir-parity zebra masks."""
+    P = semi_interp_from_matrix(A, cdir)
+    cshape = coarse_shape(A.shape, cdir)
+    C, flags = probe_core(
+        semi_rap_apply, cshape, mods, offsets, A.dtype, (A, P)
+    )
+    par = jax.lax.broadcasted_iota(jnp.int32, A.shape, cdir) % 2
+    return P, C, flags, par == 0, par == 1
+
+
+def _smg_coarsen(A: StructMatrix, cdir: int, zero_dims: tuple[int, ...] = ()):
+    """Run the fused level program and prune the probed stencil (one small
+    flags readback). ``zero_dims``: dims whose extent is structurally 0
+    (the plane-SMG batch dim)."""
+    cshape = coarse_shape(A.shape, cdir)
+    ext = tuple(
+        0
+        if d in zero_dims
+        else max(1 if d == cdir else A.stencil.extent[d], 0)
+        for d in range(A.ndim)
+    )
+    mods, offsets = probe_plan(cshape, ext, A.periodic)
+    P, C, flags, even, odd = _smg_level_program(A, cdir, mods, offsets)
+    flags_h = np.asarray(flags)
+    keep = [
+        s
+        for s in range(len(offsets))
+        if offsets[s] == (0,) * A.ndim or bool(flags_h[s])
+    ]
+    Ac = StructMatrix(
+        coeffs=C[np.asarray(keep)] if len(keep) < len(offsets) else C,
+        stencil=StructStencil(tuple(offsets[s] for s in keep)),
+        shape=cshape,
+        periodic=A.periodic,
+    )
+    return P, Ac, even, odd
+
+
+@jax.jit
+def _jit_coarse_pinv(A: StructMatrix) -> jax.Array:
+    return jnp.linalg.pinv(A.to_dense())
 
 
 def _tridiag_along(A: StructMatrix, axis: int, in_plane_axes: tuple[int, ...]):
@@ -153,30 +204,8 @@ def build_plane_smg(A: StructMatrix, cdir: int, max_levels: int = 25) -> PlaneSM
     while len(levels) < max_levels - 1 and T.shape[coarse_axis] > 1:
         if T.periodic and T.periodic[coarse_axis] and T.shape[coarse_axis] % 2:
             break  # odd periodic dim: stop; base falls back to line sweeps
-        P = semi_interp_from_matrix(T, coarse_axis)
-        cshape = coarse_shape(T.shape, coarse_axis)
-        ext = tuple(
-            0
-            if d == cdir
-            else (1 if d == coarse_axis else T.stencil.extent[d])
-            for d in range(T.ndim)
-        )
-        Tc = probe_stencil(
-            semi_rap_apply,
-            cshape,
-            ext,
-            T.dtype,
-            periodic=T.periodic,
-            operands=(T, P),
-        )
-        levels.append(
-            PlaneLevel(
-                T=T,
-                P=P,
-                even=jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 0)),
-                odd=jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 1)),
-            )
-        )
+        P, Tc, even, odd = _smg_coarsen(T, coarse_axis, zero_dims=(cdir,))
+        levels.append(PlaneLevel(T=T, P=P, even=even, odd=odd))
         T = Tc
     exact = T.shape[coarse_axis] == 1
     levels.append(
@@ -279,35 +308,17 @@ class SMG:
                 if not coarsenable:
                     break
                 cdir = coarsenable[-1]
-            P = semi_interp_from_matrix(A, cdir)
-            cshape = coarse_shape(A.shape, cdir)
-            ext = tuple(
-                1 if d == cdir else A.stencil.extent[d] for d in range(A.ndim)
-            )
-            Ac = probe_stencil(
-                semi_rap_apply,
-                cshape,
-                ext,
-                A.dtype,
-                periodic=A.periodic,
-                operands=(A, P),
-            )
+            P, Ac, even, odd = _smg_coarsen(A, cdir)
             plane = (
                 build_plane_smg(A, cdir)
                 if A.ndim == 3 and self.plane_relax == "smg"
                 else None
             )
             levels.append(
-                SMGLevel(
-                    A=A,
-                    P=P,
-                    even=jnp.asarray(_plane_parity_mask(A.shape, cdir, 0)),
-                    odd=jnp.asarray(_plane_parity_mask(A.shape, cdir, 1)),
-                    plane=plane,
-                )
+                SMGLevel(A=A, P=P, even=even, odd=odd, plane=plane)
             )
             A = Ac
-        coarse_inv = jnp.linalg.pinv(A.to_dense())
+        coarse_inv = _jit_coarse_pinv(A)
         self.hierarchy = SMGHierarchy(
             levels=levels, coarse_inv=coarse_inv, coarse_shape=A.shape
         )
