@@ -150,9 +150,12 @@ def par_spmv(A: ParEllMatrix, x: jax.Array) -> jax.Array:
     def shard_fn(dvals, dcols, ovals, ocols, send_idx, x_local):
         # send_idx local block: (1, M) — this shard's outgoing pack map
         # (-1 = padding; clamp for the gather, receivers never read those)
+        y = _local_spmv(dvals, dcols, x_local)
+        if not sizes:  # no halo at all (single shard / block-diagonal)
+            return y
         send = jnp.take(x_local, jnp.maximum(send_idx[0], 0), axis=0)
         halo = _exchange(send, offsets, sizes, nshards)
-        return _local_spmv(dvals, dcols, x_local) + _local_spmv(ovals, ocols, halo)
+        return y + _local_spmv(ovals, ocols, halo)
 
     spec_rows = P(ROW_AXIS)
     return _shard_map(

@@ -93,16 +93,17 @@ class Euclid(ILU):
             # TRUE distributed path: row-sharded operator -> distributed
             # Chow-Patel with per-sweep external-row (factor) exchange
             # (precond/par_ilu.py — Euclid_dh.c's cross-rank elimination,
-            # not a block-Jacobi approximation). Euclid's ILU(k) fill and
-            # the preprocessing flags apply to the local pattern only in
-            # this mode (level 0 distributed fill, like Euclid's
-            # memory-scalable default at scale).
-            from hypre_tpu.precond.par_ilu import ParILU
+            # not a block-Jacobi approximation). ILU(k>0) fill grows a
+            # k-level envelope by distributed symbolic neighbor union
+            # (par_ilu.par_extend_pattern — the k-hop halo pattern), then
+            # factors on it, matching Euclid's -level semantics.
+            from hypre_tpu.precond.par_ilu import ParILU, par_extend_pattern
 
+            Ax = par_extend_pattern(A, self.level) if self.level > 0 else A
             self._par = ParILU(
                 factor_sweeps=self.factor_sweeps,
                 solve_sweeps=self.solve_sweeps,
-            ).setup(A)
+            ).setup(Ax)
             self._row_scale_vec = None
             return self
         self._par = None
@@ -131,10 +132,29 @@ class PILUT(ILUT):
     drop_tolerance: float = 1e-4  # SetDropTolerance
     num_subdomains: int = 0     # >1: block-Jacobi restriction like Euclid -bj
 
-    def setup(self, A: EllMatrix) -> "PILUT":
+    def setup(self, A) -> "PILUT":
+        from hypre_tpu.parallel.par_ell import ParEllMatrix
+
+        if isinstance(A, ParEllMatrix):
+            # TRUE distributed ILUT (pilut's actual capability, not a knob
+            # remap): envelope growth + distributed Chow-Patel + dual-drop
+            # truncation (precond/par_ilu.ParILUT)
+            from hypre_tpu.precond.par_ilu import ParILUT
+
+            self._par = ParILUT(
+                drop_tolerance=self.drop_tolerance,
+                factor_row_size=self.factor_row_size,
+            ).setup(A)
+            return self
+        self._par = None
         if self.num_subdomains > 1:
             A = _block_diag_pattern(A, self.num_subdomains)
         self.max_row_nnz = self.factor_row_size
         self.drop_tol = self.drop_tolerance
         super().setup(A)
         return self
+
+    def precond(self):
+        if getattr(self, "_par", None) is not None:
+            return self._par.precond()
+        return super().precond()

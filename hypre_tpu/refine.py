@@ -56,15 +56,23 @@ def refine_solve(
     return x, rel, total_iters
 
 
-def make_device_refiner(inner_solve, passes: int = 3):
+def make_device_refiner(inner_solve, passes: int = 3,
+                        residual_2f: bool = False):
     """Device-resident two-float refinement: represent x as an unevaluated
     f32 pair (x_hi + x_lo) so the accumulated solution carries extra digits,
     and compute residuals as (b - A x_hi) - A x_lo — the cancellation in the
     first term happens before the small term is subtracted. All passes fuse
-    into ONE jitted program; no host round-trips, no f64 ops. The attainable
-    true residual is limited by the f32 SpMV's own rounding relative to
-    ||b|| (~kappa-row * eps), typically ~1e-4 — for f64-grade accuracy use
-    ``refine_solve`` (host f64 residuals).
+    into ONE jitted program; no host round-trips, no f64 ops.
+
+    residual_2f=False: plain f32 residuals — the attainable true residual is
+    limited by the f32 SpMV's own rounding (~1e-4 relative on the bench
+    Laplacians).
+    residual_2f=True (DiaMatrix operators): residuals evaluated with
+    error-free transforms (seq/twofloat.py), carrying ~48 significand bits —
+    refinement then reaches hypre's f64-class 1e-8 tolerances entirely on
+    chip (hypre computes everything in HYPRE_Real = double,
+    ``utilities/HYPRE_utilities.h:71-80``; this is the TPU-native
+    equivalent tier).
 
     inner_solve(Af, hier_args..., r) -> (d, info): the traceable f32 solve.
     A LIST of such closures runs one per pass (a tolerance schedule: the
@@ -88,7 +96,13 @@ def make_device_refiner(inner_solve, passes: int = 3):
         x_lo = jnp.zeros_like(b)
         info = None
         for solve_p in solvers:
-            r = (b - Af.mv(x_hi)) - Af.mv(x_lo)
+            if residual_2f:
+                from hypre_tpu.seq.twofloat import dia_residual_2f
+
+                r_hi, r_lo = dia_residual_2f(Af, b, x_hi, x_lo)
+                r = r_hi  # r_lo is below the inner solve's f32 resolution
+            else:
+                r = (b - Af.mv(x_hi)) - Af.mv(x_lo)
             d, info = solve_p(Af, *hier_args, r)
             t = x_lo + d  # Fast2Sum accumulation
             hi = x_hi + t
