@@ -329,9 +329,10 @@ def main():
         f"setup+solve vs hypre: {(HYPRE_SETUP_S+HYPRE_SOLVE_S)/(setup_s+solve_s):.3f}x"
     )
 
-    # higher-accuracy tier: device-resident two-float iterative refinement
-    # (hypre's tolerances are f64; refine.py's two-float SpMV residual path
-    # carries the correction below the f32 rounding floor on chip)
+    # higher-accuracy tier: device-resident refinement with error-free-
+    # transform residuals (seq/twofloat.py) — pure f32 chip arithmetic
+    # reproducing hypre's f64 1e-8-class golden residuals
+    # (TEST_ij/solvers.saved). Compare against hypre's 0.486 s f64 solve.
     from hypre_tpu.refine import make_device_refiner
 
     def make_inner(rtol_p, maxiter_p):
@@ -342,11 +343,12 @@ def main():
 
         return inner
 
-    # tolerance schedule: the first pass does the heavy reduction, the
-    # second only polishes — fewer total Krylov iterations than three
-    # equal-tolerance passes (refine.py's per-pass inner_solve list)
+    # tolerance schedule: two heavy-reduction passes + a polish — each pass
+    # multiplies the TRUE residual by its contraction since the two-float
+    # residual evaluation never floors at f32 rounding
     refined = make_device_refiner(
-        [make_inner(1e-4, 30), make_inner(1e-2, 10)]
+        [make_inner(1e-4, 30), make_inner(1e-4, 20), make_inner(1e-2, 10)],
+        residual_2f=True,
     )
     xh, xl, _ = refined(Afast, hier_fast, b)
     _ = float(jnp.sum(xh))

@@ -24,8 +24,13 @@ baked into static device arrays consumed inside shard_map:
   that exchange nothing carry zero-padded tiles nobody reads.
 
 hypre overlaps the diag SpMV with the halo exchange explicitly
-(``par_csr_matvec.c:293-340``); here the ppermutes and the diag SpMV have no
-data dependence, so XLA's async collective scheduler provides the overlap.
+(``par_csr_matvec.c:293-340``); here the ppermutes and the diag SpMV have
+no data dependence, so XLA's async collective scheduler CAN overlap them —
+whether it does is backend-dependent and measured, not assumed: see
+``PROFILE.md`` / ``profile_overlap.py`` (on the 8-virtual-device CPU mesh
+the exchange is NOT hidden — XLA:CPU runs collectives synchronously; on
+TPU ICI the async-collective path exists but is unverified on this
+1-chip testbed).
 """
 
 from __future__ import annotations
