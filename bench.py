@@ -80,7 +80,12 @@ def deadline_guard(name: str, min_s: float):
         raise SectionTimeout(f"{name}: exceeded bench budget")
 
     old = signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(max(int(rem), 1))
+    # REPEATING alarm: a single SIGALRM's exception can be swallowed by a
+    # library except-handler mid-flight (observed: jax's compilation-cache
+    # reader converted the SectionTimeout into a warning and the section
+    # ran on to the harness kill); the interval re-fires every 10 s until
+    # the section actually unwinds.
+    signal.setitimer(signal.ITIMER_REAL, max(rem, 1.0), 10.0)
     try:
         yield True
     except SectionTimeout as e:
@@ -88,7 +93,7 @@ def deadline_guard(name: str, min_s: float):
     except Exception as e:  # pragma: no cover - device-dependent
         log(f"{name} FAILED: {e!r}")
     finally:
-        signal.alarm(0)
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
         signal.signal(signal.SIGALRM, old)
 
 
@@ -213,6 +218,18 @@ def save_width_plan(key: str, plan: dict) -> None:
         log(f"width-plan save failed: {e!r}")
 
 
+@jax.jit
+def _probe_tree(t):
+    """A scalar depending on the first element of every array leaf —
+    reading it back guarantees the whole pytree finished materializing."""
+    import jax.numpy as _jnp
+
+    def acc(a, leaf):
+        return a + _jnp.sum(_jnp.ravel(leaf)[:1]).astype(_jnp.float32)
+
+    return jax.tree_util.tree_reduce(acc, t, _jnp.float32(0))
+
+
 def main():
     import dataclasses
     import os as _os
@@ -265,7 +282,12 @@ def main():
             transfer_dia=True,
         )
         fast = optimize_hierarchy(hier, gather_precision=0)
-        jax.block_until_ready(jax.tree_util.tree_leaves(fast))
+        # ONE scalar readback that depends on EVERY leaf closes the build:
+        # on this tunnel block_until_ready does not always await remote
+        # completion, and an unfinished warm build queues ahead of the
+        # timed one (observed as a 12 s "timed" setup whose time was
+        # really warmup-2's work)
+        _ = float(_probe_tree(fast))
         return fast
 
     # Warmup is TWO passes: the first compiles (and retries widths when the
@@ -420,7 +442,7 @@ def main():
                     transfer_dia=True,
                 )
                 fast = optimize_hierarchy(hier, gather_precision=0)
-                jax.block_until_ready(jax.tree_util.tree_leaves(fast))
+                _ = float(_probe_tree(fast))  # close the build (see build())
                 return fast
 
             build27(dataclasses.replace(A27, vals=A27.vals * 2.0))
@@ -462,27 +484,6 @@ def main():
                 ),
             )
 
-    # --- SpGEMM (TEST_bench/benchmark_spgemm: hypre V100 A*A times
-    # 0.0065-0.123 s on the 7-pt 128^3 and 0.078-0.654 s on the 27-pt) ---
-    if _os.environ.get("HYPRE_TPU_BENCH_SPGEMM", "1") != "0":
-      with deadline_guard("SpGEMM section", min_s=45) as go:
-        if go:
-            from hypre_tpu.drivers import ij_mm
-
-            with contextlib.redirect_stdout(sys.stderr):  # stdout = JSON only
-                spgemm7 = ij_mm.run(f"-n {n} {n} {n} -7pt -job 1 -rep 5".split())
-                spgemm27 = ij_mm.run(
-                    f"-n {n} {n} {n} -27pt -job 1 -rep 3".split()
-                )
-            log(
-                f"SpGEMM A*A: 7pt {spgemm7:.4f}s (hypre 0.0065-0.123), "
-                f"27pt {spgemm27:.4f}s (hypre 0.078-0.654)"
-            )
-            aux.update(
-                spgemm_7pt_seconds=round(spgemm7, 5),
-                spgemm_27pt_seconds=round(spgemm27, 5),
-            )
-
     # --- struct path: PFMG-PCG + SMG-PCG on a 2-D 2048^2 Laplacian (hypre
     # struct driver solver 11: 0.0123 s setup + 0.138 s solve; solver 10:
     # 0.121 / 0.577 s — benchmark_struct.perf.saved.lassen:2-3,14-15). One
@@ -501,7 +502,7 @@ def main():
 
             def build_pf(Ax):
                 pf = PFMG().setup(Ax)
-                jax.block_until_ready(pf.hierarchy.coarse_inv)
+                _ = float(_probe_tree(pf.hierarchy))  # close the build
                 return pf
 
             build_pf(
@@ -565,7 +566,7 @@ def main():
 
             def build_smg(Ax):
                 sm = SMG().setup(Ax)
-                jax.block_until_ready(sm.hierarchy.coarse_inv)
+                _ = float(_probe_tree(sm.hierarchy))  # close the build
                 return sm
 
             build_smg(dataclasses.replace(As, coeffs=As.coeffs * 2.0))
@@ -611,6 +612,27 @@ def main():
                 smg_vs_baseline=round(
                     (HG_SETUP + HG_SOLVE) / (smg_setup_s + smg_solve_s), 4
                 ),
+            )
+
+    # --- SpGEMM (TEST_bench/benchmark_spgemm: hypre V100 A*A times
+    # 0.0065-0.123 s on the 7-pt 128^3 and 0.078-0.654 s on the 27-pt) ---
+    if _os.environ.get("HYPRE_TPU_BENCH_SPGEMM", "1") != "0":
+      with deadline_guard("SpGEMM section", min_s=45) as go:
+        if go:
+            from hypre_tpu.drivers import ij_mm
+
+            with contextlib.redirect_stdout(sys.stderr):  # stdout = JSON only
+                spgemm7 = ij_mm.run(f"-n {n} {n} {n} -7pt -job 1 -rep 5".split())
+                spgemm27 = ij_mm.run(
+                    f"-n {n} {n} {n} -27pt -job 1 -rep 3".split()
+                )
+            log(
+                f"SpGEMM A*A: 7pt {spgemm7:.4f}s (hypre 0.0065-0.123), "
+                f"27pt {spgemm27:.4f}s (hypre 0.078-0.654)"
+            )
+            aux.update(
+                spgemm_7pt_seconds=round(spgemm7, 5),
+                spgemm_27pt_seconds=round(spgemm27, 5),
             )
 
     if aux:

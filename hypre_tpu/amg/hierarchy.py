@@ -520,13 +520,31 @@ def optimize_hierarchy(
     hier: AMGHierarchy,
     prefer_pallas: bool | None = None,
     gather_precision: int = 0,
+    cheby_eig_est: int = 0,
 ) -> AMGHierarchy:
     """Swap every level operator (A, P, Pt) for its fastest-on-this-backend
     representation (DIA shifts or the windowed Pallas gather, seq/fastmv.py).
     Run after setup, before the solve phase — the TPU analogue of hypre
-    choosing device kernels at exec-policy time."""
+    choosing device kernels at exec-policy time.
+
+    cheby_eig_est > 0: re-estimate each level's Chebyshev lambda_max with
+    that many CG/Lanczos steps (hypre_ParCSRMaxEigEstimateCG,
+    par_relax_more.c:173) on the OPTIMIZED operator — the device setup
+    itself uses the free Gershgorin bound because iterative estimation on
+    the raw ELL slabs was the dominant setup cost; on the DIA/BandedEll
+    operators ~10 matvecs per level are cheap, restoring hypre's
+    -cheby_eig_est semantics for the device path."""
     from hypre_tpu.seq.dia import DiaMatrix
     from hypre_tpu.seq.fastmv import BandedEll
+
+    import numpy as _np
+
+    def refresh_lmax(lev, A_fast):
+        if cheby_eig_est <= 0 or float(_np.asarray(lev.lmax)) == 0.0:
+            return lev
+        lmax = _jit_eig_cg(A_fast, lev.dinv, min(cheby_eig_est,
+                                                 A_fast.vec_len_rows))
+        return dataclasses.replace(lev, lmax=lmax.astype(lev.lmax.dtype))
 
     new_levels = []
     for lev in hier.levels:
@@ -542,7 +560,9 @@ def optimize_hierarchy(
         if isinstance(lev.P, TransferDia):
             # already converted by the device setup (fine-space diagonal
             # transfers on stencil levels) — pass through
-            new_levels.append(dataclasses.replace(lev, A=A, Pt=None))
+            new_levels.append(
+                refresh_lmax(dataclasses.replace(lev, A=A, Pt=None), A)
+            )
             continue
         P = optimize_operator(
             lev.P, prefer_pallas, exact=gather_precision, dia_detect="shifts"
@@ -562,10 +582,19 @@ def optimize_hierarchy(
             A = A.drop_ell()
         if isinstance(Pt, BandedEll):
             Pt = Pt.drop_ell()
-        new_levels.append(dataclasses.replace(lev, A=A, P=P, Pt=Pt))
+        new_levels.append(
+            refresh_lmax(dataclasses.replace(lev, A=A, P=P, Pt=Pt), A)
+        )
     return AMGHierarchy(
         levels=new_levels, coarse_inv=hier.coarse_inv, galerkin=hier.galerkin
     )
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _jit_eig_cg(A, dinv, iters):
+    from hypre_tpu.amg.relax import max_eig_estimate_cg
+
+    return max_eig_estimate_cg(A, dinv, iters)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,11 @@ def _merge_rows(cols: jax.Array, vals: jax.Array, out_k: int):
     return out_cols[:, :out_k], out_vals[:, :out_k], required_k
 
 
+# candidate-slab element budget above which ell_spgemm routes through the
+# slot-blocked/chunked device_setup.spgemm_slab path (see ell_spgemm)
+_BIG_SPGEMM_ELEMENTS = 2e8
+
+
 def ell_spgemm_raw(A: EllMatrix, B: EllMatrix, out_k: int):
     """C = A @ B with fixed output width; returns (C, required_k)."""
     aco = jnp.maximum(A.cols, 0)
@@ -81,9 +86,37 @@ def ell_spgemm(A: EllMatrix, B: EllMatrix, out_k: int | None = None) -> EllMatri
 
     Not jittable end-to-end (the retry needs a host round-trip); AMG setup is
     host-orchestrated anyway, mirroring hypre's symbolic-then-numeric phases.
+
+    Large products (27-pt-class: n*kA*kB beyond a slab budget) route through
+    device_setup.spgemm_slab — slot-blocked progressive merges when A is
+    shift-structured, lax.map row chunks otherwise — because the one-shot
+    (n, kA, kB) candidate gather here lane-pads its minor dim to 128 on TPU
+    (29 GB on the 128^3 27-pt A*A; hypre's answer to the same blow-up is the
+    11-bin hash SpGEMM, ``seq_mv/csr_spgemm_device.h:20-24``).
     """
+    n, kA, kB = A.n_rows, A.k, B.k
     if out_k is None:
-        out_k = min(A.k * B.k, max(A.k, B.k) * 4)
+        out_k = min(kA * kB, max(kA, kB) * 4)
+    if n * kA * kB > _BIG_SPGEMM_ELEMENTS:
+        from hypre_tpu.amg.device_setup import _jit_ap
+
+        shifts = A.shifts if A.shifts is None else tuple(
+            int(s) for s in A.shifts
+        )
+        chunks = 1
+        if shifts is None:
+            while n * kA * kB / chunks > 48e6:
+                chunks *= 2
+        for _ in range(4):
+            cc, cv, req = _jit_ap(
+                A.vals, A.cols, B.cols, B.vals, out_k, shifts, 0, chunks
+            )
+            r = int(req)
+            if r <= out_k:
+                break
+            out_k = r
+        k = max(min(r, out_k), 1)
+        return EllMatrix(vals=cv[:, :k], cols=cc[:, :k], n_cols=B.n_cols)
     C, required_k = _spgemm_jit(A, B, out_k)
     required_k = int(required_k)
     if required_k > out_k:

@@ -27,6 +27,11 @@ from hypre_tpu.struct.matrix import (
     struct_from_dense_coeffs,
 )
 from hypre_tpu.struct.probe import probe_stencil
+from hypre_tpu.struct.io import (
+    print_struct_matrix, print_struct_vector, print_sstruct_matrix,
+    print_sstruct_vector, read_struct_matrix, read_struct_vector,
+    read_sstruct_matrix, read_sstruct_vector,
+)
 from hypre_tpu.struct.pfmg import PFMG
 from hypre_tpu.struct.sparse_msg import SparseMSG
 from hypre_tpu.struct.hybrid import StructHybrid

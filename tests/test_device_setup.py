@@ -388,3 +388,26 @@ def test_setup_hierarchy_device_27pt_blocked(monkeypatch):
     assert bool(info.converged), f"{info}"
     r = b - ell_spmv(A, x)
     assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+
+
+def test_optimize_hierarchy_cheby_eig_est():
+    """VERDICT r2 weak #8: -cheby_eig_est semantics on the DEVICE path.
+    The CG/Lanczos re-estimate on the optimized operators must tighten the
+    Gershgorin bound toward the true lambda_max(D^-1 A)."""
+    from hypre_tpu.amg.hierarchy import optimize_hierarchy
+
+    A = laplacian_3d_7pt(10, 10, 10)
+    hier = setup_hierarchy_device(A, max_coarse_size=80, relax="chebyshev")
+    fast0 = optimize_hierarchy(hier)
+    fast = optimize_hierarchy(hier, cheby_eig_est=20)
+    # true lambda_max of D^-1 A on the fine level
+    import numpy as np
+
+    d = np.asarray(A.diagonal())
+    dense = _dense(A.cols, A.vals, A.n_rows) / d[:, None]
+    true = np.max(np.linalg.eigvals(dense).real)
+    g_bound = float(np.asarray(fast0.levels[0].lmax))
+    cg_est = float(np.asarray(fast.levels[0].lmax))
+    assert g_bound >= true - 1e-3          # Gershgorin is an upper bound
+    assert abs(cg_est - true) < 0.05 * true  # CG estimate is tight
+    assert cg_est <= g_bound + 1e-6

@@ -129,3 +129,28 @@ def test_detect_shifts_and_shift_gather():
     bad = cols.copy()
     bad[3, 0] = 17
     assert detect_shifts(bad) is None
+
+
+def test_ell_spgemm_big_path_matches_small(monkeypatch):
+    """ell_spgemm's large-product routing (slot-blocked/chunked slab path)
+    must agree with the one-shot kernel (the 27-pt A*A OOM fix)."""
+    import numpy as np
+
+    from hypre_tpu.problems.laplacian import laplacian_3d_7pt
+    from hypre_tpu.seq import spgemm as sp
+
+    A = laplacian_3d_7pt(7, 6, 5)
+    ref = sp.ell_spgemm(A, A)
+    monkeypatch.setattr(sp, "_BIG_SPGEMM_ELEMENTS", 1.0)
+    big = sp.ell_spgemm(A, A)
+
+    def dense(M):
+        cols, vals = np.asarray(M.cols), np.asarray(M.vals)
+        d = np.zeros((cols.shape[0], M.n_cols))
+        for i in range(cols.shape[0]):
+            for c, v in zip(cols[i], vals[i]):
+                if c >= 0:
+                    d[i, c] += v
+        return d
+
+    np.testing.assert_allclose(dense(big), dense(ref), rtol=1e-5, atol=1e-7)

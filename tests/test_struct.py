@@ -316,3 +316,70 @@ def test_pfmg_periodic_x():
 def test_smg_periodic_x():
     A = struct_laplacian((16, 16), periodic=(True, False))
     _solve_check(SMG().setup(A), A, (16, 16), max_expected=14)
+
+
+def test_struct_object_io_roundtrip(tmp_path):
+    """hypre_StructMatrixPrint/Read + StructVectorPrint/Read analogues
+    (struct_matrix.c:1764,1856, struct_io.c): object-level roundtrip."""
+    from hypre_tpu.struct.io import (
+        print_struct_matrix, print_struct_vector, read_struct_matrix,
+        read_struct_vector,
+    )
+    from hypre_tpu.problems.struct_problems import struct_laplacian
+
+    A = struct_laplacian((6, 5))
+    p = str(tmp_path / "A.struct")
+    print_struct_matrix(p, A)
+    B = read_struct_matrix(p, A.dtype)
+    assert B.stencil.offsets == A.stencil.offsets
+    assert B.shape == A.shape and B.periodic == A.periodic
+    np.testing.assert_allclose(np.asarray(B.coeffs), np.asarray(A.coeffs))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape), A.dtype)
+    pv = str(tmp_path / "x.struct")
+    print_struct_vector(pv, x)
+    y = read_struct_vector(pv, A.dtype)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-6)
+    # constant-coefficient variant
+    from hypre_tpu.struct.matrix import struct_from_dense_coeffs
+
+    C = struct_from_dense_coeffs(
+        {(0, 0): 4.0, (0, 1): -1.0, (0, -1): -1.0}, (6, 5), dtype=A.dtype
+    )
+    pc = str(tmp_path / "C.struct")
+    print_struct_matrix(pc, C)
+    C2 = read_struct_matrix(pc, A.dtype)
+    assert C2.is_constant
+    np.testing.assert_allclose(np.asarray(C2.coeffs), np.asarray(C.coeffs))
+
+
+def test_sstruct_object_io_roundtrip(tmp_path):
+    """HYPRE_SStructMatrix/VectorPrint analogues (2.25 CHANGELOG:20)."""
+    from hypre_tpu.struct.io import (
+        print_sstruct_matrix, print_sstruct_vector, read_sstruct_matrix,
+        read_sstruct_vector,
+    )
+    from hypre_tpu.problems.struct_problems import struct_laplacian
+    from hypre_tpu.sstruct.grid import SStructGrid
+    from hypre_tpu.sstruct.matrix import SStructMatrix
+    from hypre_tpu.seq.ell import EllMatrix
+
+    grid = SStructGrid(((4, 3), (3, 3)))
+    parts = (struct_laplacian((4, 3)), struct_laplacian((3, 3)))
+    n = grid.total_size
+    U = EllMatrix(
+        vals=jnp.zeros((n, 2)).at[0, 0].set(-1.0).at[12, 0].set(-1.0),
+        cols=jnp.full((n, 2), -1, jnp.int32).at[0, 0].set(12).at[12, 0].set(0),
+        n_cols=n,
+    )
+    A = SStructMatrix(parts=parts, U=U, grid=grid)
+    d = str(tmp_path / "ss")
+    print_sstruct_matrix(d, A)
+    B = read_sstruct_matrix(d, A.dtype)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n), A.dtype)
+    np.testing.assert_allclose(
+        np.asarray(B.mv(x)), np.asarray(A.mv(x)), rtol=1e-5, atol=1e-6
+    )
+    dv = str(tmp_path / "ssv")
+    print_sstruct_vector(dv, grid, x)
+    y = read_sstruct_vector(dv, A.dtype)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-6)
