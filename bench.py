@@ -425,7 +425,7 @@ def main():
     # benchmark_ij.perf.saved.lassen:14-15) ---
     H27_SETUP, H27_SOLVE = 0.237, 0.197
     if _os.environ.get("HYPRE_TPU_BENCH_27PT", "1") != "0":
-      with deadline_guard("27-pt section", min_s=60) as go:
+      with deadline_guard("27-pt section", min_s=120) as go:
         if go:
             from hypre_tpu.problems.laplacian import laplacian_3d_27pt
             from hypre_tpu.seq.fastmv import optimize_operator

@@ -125,6 +125,16 @@ class PFMG:
     def setup(self, A: StructMatrix) -> "PFMG":
         levels: List[PFMGLevel] = []
         dxyz = compute_dxyz(A)
+        # Deferred pruning, zero per-level syncs: every level runs UNPRUNED
+        # (zero fill coefficients are numerically inert — P, dinv, the
+        # coarse RAP and the final pinv are identical with or without
+        # them), so the whole level chain enqueues as back-to-back async
+        # dispatches; the prune flags of all levels are read back ONCE at
+        # the end and the stored operators trimmed post-hoc. Through the
+        # 25 ms/round-trip tunnel this is the difference between O(levels)
+        # and O(1) blocking syncs per setup (hypre's 0.0123 s comparison
+        # point, benchmark_struct.perf.saved.lassen:14).
+        flags_list = []
         while (
             len(levels) < self.max_levels - 1 and A.n_rows > self.max_coarse_size
         ):
@@ -152,15 +162,10 @@ class PFMG:
             P, C, flags, dinv, red = _pfmg_level_program(
                 A, cdir, mods, offsets
             )
-            flags_h = np.asarray(flags)  # the level's one small readback
-            keep = [
-                s
-                for s in range(len(offsets))
-                if offsets[s] == (0,) * A.ndim or bool(flags_h[s])
-            ]
+            flags_list.append(flags)
             Ac = StructMatrix(
-                coeffs=C[np.asarray(keep)] if len(keep) < len(offsets) else C,
-                stencil=StructStencil(tuple(offsets[s] for s in keep)),
+                coeffs=C,
+                stencil=StructStencil(offsets),
                 shape=cshape,
                 periodic=A.periodic,
             )
@@ -168,6 +173,39 @@ class PFMG:
             A = Ac
 
         coarse_inv = _jit_coarse_pinv(A)
+
+        # the single sync: one fused readback of every level's flags
+        if flags_list:
+            lens = [int(f.shape[0]) for f in flags_list]
+            allf = np.asarray(
+                jnp.concatenate([f.astype(jnp.int8) for f in flags_list])
+            )
+            splits = np.split(allf, np.cumsum(lens)[:-1])
+            flags_list = [s for s in splits]
+
+        def pruned(M: StructMatrix, flags) -> StructMatrix:
+            fl = np.asarray(flags)
+            offs = M.stencil.offsets
+            keep = [
+                s for s in range(len(offs))
+                if offs[s] == (0,) * M.ndim or bool(fl[s])
+            ]
+            if len(keep) == len(offs):
+                return M
+            return StructMatrix(
+                coeffs=M.coeffs[np.asarray(keep)],
+                stencil=StructStencil(tuple(offs[s] for s in keep)),
+                shape=M.shape,
+                periodic=M.periodic,
+            )
+
+        for i, fl in enumerate(flags_list):
+            if i + 1 < len(levels):
+                levels[i + 1] = dataclasses.replace(
+                    levels[i + 1], A=pruned(levels[i + 1].A, fl)
+                )
+            else:
+                A = pruned(A, fl)
         self.hierarchy = PFMGHierarchy(
             levels=levels, coarse_inv=coarse_inv, coarse_shape=A.shape
         )
