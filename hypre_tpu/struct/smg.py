@@ -61,9 +61,11 @@ def _smg_level_program(A: StructMatrix, cdir: int, mods, offsets):
 
 
 def _smg_coarsen(A: StructMatrix, cdir: int, zero_dims: tuple[int, ...] = ()):
-    """Run the fused level program and prune the probed stencil (one small
-    flags readback). ``zero_dims``: dims whose extent is structurally 0
-    (the plane-SMG batch dim)."""
+    """Run the fused level program; returns (P, unpruned Ac, even, odd,
+    flags). Pruning is DEFERRED (see _prune_struct) so level chains enqueue
+    without per-level readbacks — zero fill coefficients are numerically
+    inert, the trim happens once at the end of the setup. ``zero_dims``:
+    dims whose extent is structurally 0 (the plane-SMG batch dim)."""
     cshape = coarse_shape(A.shape, cdir)
     ext = tuple(
         0
@@ -73,19 +75,39 @@ def _smg_coarsen(A: StructMatrix, cdir: int, zero_dims: tuple[int, ...] = ()):
     )
     mods, offsets = probe_plan(cshape, ext, A.periodic)
     P, C, flags, even, odd = _smg_level_program(A, cdir, mods, offsets)
-    flags_h = np.asarray(flags)
-    keep = [
-        s
-        for s in range(len(offsets))
-        if offsets[s] == (0,) * A.ndim or bool(flags_h[s])
-    ]
     Ac = StructMatrix(
-        coeffs=C[np.asarray(keep)] if len(keep) < len(offsets) else C,
-        stencil=StructStencil(tuple(offsets[s] for s in keep)),
-        shape=cshape,
+        coeffs=C, stencil=StructStencil(offsets), shape=cshape,
         periodic=A.periodic,
     )
-    return P, Ac, even, odd
+    return P, Ac, even, odd, flags
+
+
+def _prune_struct(M: StructMatrix, flags) -> StructMatrix:
+    fl = np.asarray(flags)
+    offs = M.stencil.offsets
+    keep = [
+        s for s in range(len(offs))
+        if offs[s] == (0,) * M.ndim or bool(fl[s])
+    ]
+    if len(keep) == len(offs):
+        return M
+    return StructMatrix(
+        coeffs=M.coeffs[np.asarray(keep)],
+        stencil=StructStencil(tuple(offs[s] for s in keep)),
+        shape=M.shape,
+        periodic=M.periodic,
+    )
+
+
+def _batch_flags(flags_list):
+    """One fused readback for a list of per-level flag vectors."""
+    if not flags_list:
+        return []
+    lens = [int(f.shape[0]) for f in flags_list]
+    allf = np.asarray(
+        jnp.concatenate([f.astype(jnp.int8) for f in flags_list])
+    )
+    return np.split(allf, np.cumsum(lens)[:-1])
 
 
 @jax.jit
@@ -201,10 +223,14 @@ def build_plane_smg(A: StructMatrix, cdir: int, max_levels: int = 25) -> PlaneSM
     line_axis, coarse_axis = inplane[0], inplane[1]
     T = _inplane_operator(A, cdir)
     levels: List[PlaneLevel] = []
+    flags_list = []
     while len(levels) < max_levels - 1 and T.shape[coarse_axis] > 1:
         if T.periodic and T.periodic[coarse_axis] and T.shape[coarse_axis] % 2:
             break  # odd periodic dim: stop; base falls back to line sweeps
-        P, Tc, even, odd = _smg_coarsen(T, coarse_axis, zero_dims=(cdir,))
+        P, Tc, even, odd, flags = _smg_coarsen(
+            T, coarse_axis, zero_dims=(cdir,)
+        )
+        flags_list.append(flags)
         levels.append(PlaneLevel(T=T, P=P, even=even, odd=odd))
         T = Tc
     exact = T.shape[coarse_axis] == 1
@@ -220,6 +246,10 @@ def build_plane_smg(A: StructMatrix, cdir: int, max_levels: int = 25) -> PlaneSM
             else jnp.asarray(_plane_parity_mask(T.shape, coarse_axis, 1)),
         )
     )
+    for i, fl in zip(range(1, len(levels)), _batch_flags(flags_list)):
+        levels[i] = dataclasses.replace(
+            levels[i], T=_prune_struct(levels[i].T, fl)
+        )
     return PlaneSMG(levels=levels, line_axis=line_axis, exact_base=exact)
 
 
@@ -295,6 +325,7 @@ class SMG:
 
     def setup(self, A: StructMatrix) -> "SMG":
         levels: List[SMGLevel] = []
+        flags_list = []
         while len(levels) < self.max_levels - 1 and A.n_rows > self.max_coarse_size:
             def can_coarsen(d: int) -> bool:
                 if A.shape[d] < 3:
@@ -308,7 +339,8 @@ class SMG:
                 if not coarsenable:
                     break
                 cdir = coarsenable[-1]
-            P, Ac, even, odd = _smg_coarsen(A, cdir)
+            P, Ac, even, odd, flags = _smg_coarsen(A, cdir)
+            flags_list.append(flags)
             plane = (
                 build_plane_smg(A, cdir)
                 if A.ndim == 3 and self.plane_relax == "smg"
@@ -319,6 +351,12 @@ class SMG:
             )
             A = Ac
         coarse_inv = _jit_coarse_pinv(A)
+        # deferred pruning: one fused flags readback, post-hoc trims
+        for i, fl in zip(range(1, len(levels) + 1), _batch_flags(flags_list)):
+            if i < len(levels):
+                levels[i] = dataclasses.replace(
+                    levels[i], A=_prune_struct(levels[i].A, fl)
+                )
         self.hierarchy = SMGHierarchy(
             levels=levels, coarse_inv=coarse_inv, coarse_shape=A.shape
         )
