@@ -45,6 +45,7 @@ class FEISystem:
     _elems: Dict = dataclasses.field(default_factory=dict, repr=False)
     _bc_rows: List[int] = dataclasses.field(default_factory=list, repr=False)
     _bc_vals: List[float] = dataclasses.field(default_factory=list, repr=False)
+    _shared: set = dataclasses.field(default_factory=set, repr=False)
     _params: Dict[str, str] = dataclasses.field(default_factory=dict, repr=False)
     A: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
     b: Optional[jnp.ndarray] = dataclasses.field(default=None, repr=False)
@@ -82,7 +83,21 @@ class FEISystem:
         """FEI::initElemBlock — declares a block; element connectivity and
         stiffness arrive via sumInElemMatrix."""
         self._elems[block_id] = dict(
-            n=num_elems, npe=nodes_per_elem, conn=[], mats=[], rhs=[])
+            n=num_elems, npe=nodes_per_elem, conn=[], nodes=[], mats=[],
+            rhs=[])
+        return self
+
+    def initSharedNodes(self, node_ids: Sequence,
+                        remote_procs: Sequence = ()) -> "FEISystem":
+        """FEI::initSharedNodes — declare nodes shared with other
+        "processors" (other FEISystem instances in this model). The
+        reference builds shared-node tables and exchanges contributions at
+        loadComplete (``FEI_HYPRE_Impl.cxx`` shared-node resolution);
+        here the declaration is recorded and the cross-instance summation
+        happens in ``fei_assemble_shared`` — application node IDs are the
+        global identity, so ownership bookkeeping reduces to IJ add-to
+        semantics."""
+        self._shared.update(node_ids)
         return self
 
     def sumInElemMatrix(self, block_id, elem_id, node_ids: Sequence,
@@ -101,6 +116,7 @@ class FEISystem:
                 f"stiffness shape {ke.shape} != ({len(dofs)}, {len(dofs)})"
             )
         blk["conn"].append(dofs)
+        blk["nodes"].append(list(node_ids))
         blk["mats"].append(ke)
         return self
 
@@ -204,3 +220,82 @@ class FEISystem:
             M = lambda r: dinv * r
         return solver(lambda v: ell_spmv(A, v), self.b, M=M,
                       rtol=rtol, maxiter=maxiter)
+
+    # -- solution return (FEI 2.x getBlockNodeSolution / getNodalSolution) ----
+
+    def getBlockNodeSolution(self, block_id, x):
+        """FEI::getBlockNodeSolution — the nodes an element block touches,
+        their dof offsets into ``values``, and their solution values
+        (FEI_HYPRE_Impl's per-block node lists + equation offsets)."""
+        blk = self._elems[block_id]
+        seen, node_ids = set(), []
+        for elem_nodes in blk["nodes"]:
+            for nid in elem_nodes:
+                if nid not in seen:
+                    seen.add(nid)
+                    node_ids.append(nid)
+        xs = np.asarray(x)
+        d = self.dofs_per_node
+        offsets = list(range(0, d * len(node_ids), d))
+        values = np.concatenate(
+            [xs[self._dofs(nid)] for nid in node_ids]
+        ) if node_ids else np.zeros(0)
+        return node_ids, offsets, values
+
+    def getNodalSolution(self, x):
+        """FEI::getNodalSolution — every node's ID, dof offset, values."""
+        xs = np.asarray(x)
+        d = self.dofs_per_node
+        node_ids = list(self._node_ids)
+        offsets = list(range(0, d * len(node_ids), d))
+        return node_ids, offsets, xs[: d * len(node_ids)].copy()
+
+    def residualNorm(self, which: int, x) -> float:
+        """FEI::residualNorm — norm of b - A x (which: 1=one, 2=two,
+        0=inf, matching the reference's norm selector)."""
+        assert self.A is not None, "call loadComplete() first"
+        r = np.asarray(self.b) - np.asarray(ell_spmv(self.A, jnp.asarray(x)))
+        if which == 1:
+            return float(np.linalg.norm(r, 1))
+        if which == 0:
+            return float(np.linalg.norm(r, np.inf))
+        return float(np.linalg.norm(r))
+
+
+def fei_assemble_shared(systems: Sequence[FEISystem]) -> FEISystem:
+    """Multi-processor FEI assembly: each FEISystem plays one rank of the
+    reference's per-process FEI instances; element contributions at nodes
+    declared shared (``initSharedNodes``) — or simply appearing on several
+    ranks, since application node IDs are global — are SUMMED into one
+    global system, the reference's shared-node exchange
+    (``FEI_HYPRE_Impl.cxx``) collapsed into IJ add-to semantics. BCs from
+    any rank apply once (last writer wins on conflicts, like the
+    reference's owner-applies rule). Returns the merged, loadComplete'd
+    system."""
+    assert systems, "no FEI systems to merge"
+    merged = FEISystem()
+    merged.initFields(
+        len(systems[0].field_sizes), systems[0].field_sizes
+    )
+    for k, s in enumerate(systems):
+        if s.field_sizes != merged.field_sizes:
+            raise ValueError("inconsistent field layouts across processors")
+        for bid, blk in s._elems.items():
+            mbid = (k, bid) if bid in merged._elems else bid
+            merged.initElemBlock(mbid, blk["n"], blk["npe"])
+            for nodes, ke in zip(blk["nodes"], blk["mats"]):
+                merged.sumInElemMatrix(mbid, None, nodes, ke)
+            for dofs, fe in blk["rhs"]:
+                # reconstruct node ids from this rank's dof numbering
+                d = s.dofs_per_node
+                inv = {v: nid for nid, v in s._node_ids.items()}
+                nids = [inv[dof // d] for dof in dofs[::d]]
+                merged.sumInElemRHS(mbid, None, nids, fe)
+        d = s.dofs_per_node
+        inv = {v: nid for nid, v in s._node_ids.items()}
+        for row, val in zip(s._bc_rows, s._bc_vals):
+            nid = inv[row // d]
+            gdofs = merged._dofs(nid)
+            merged._bc_rows.append(gdofs[row % d])
+            merged._bc_vals.append(val)
+    return merged.loadComplete()

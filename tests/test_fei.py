@@ -109,3 +109,81 @@ def test_fei_multifield_vector_poisson():
     # field 1 has zero load and zero BCs -> identically zero; field 0 > 0
     np.testing.assert_allclose(xs[1::2], 0.0, atol=1e-9)
     assert xs[0::2].max() > 0
+
+
+def test_fei_shared_nodes_multiproc_assembly():
+    """Multi-processor FEI: two FEISystem 'ranks' each assembling half of
+    the mesh, sharing the interface nodes (initSharedNodes +
+    fei_assemble_shared) — must reproduce the single-rank system exactly
+    (the reference's shared-node contribution exchange)."""
+    from hypre_tpu.fei import fei_assemble_shared
+
+    nx, ny = 6, 4
+    ke = np.array([
+        [ 2/3, -1/6, -1/3, -1/6],
+        [-1/6,  2/3, -1/6, -1/3],
+        [-1/3, -1/6,  2/3, -1/6],
+        [-1/6, -1/3, -1/6,  2/3],
+    ])
+    fe = np.full(4, 0.25 / (nx * ny))
+    nid = lambda i, j: (i, j)
+
+    def add_elems(fei, i_range, bid):
+        fei.initElemBlock(bid, len(i_range) * ny, 4)
+        for i in i_range:
+            for j in range(ny):
+                conn = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1),
+                        nid(i, j + 1)]
+                fei.sumInElemMatrix(bid, (i, j), conn, ke)
+                fei.sumInElemRHS(bid, (i, j), conn, fe)
+
+    bnd = [nid(i, j) for i in range(nx + 1) for j in range(ny + 1)
+           if i in (0, nx) or j in (0, ny)]
+
+    # single-rank reference
+    ref = FEISystem().initFields()
+    add_elems(ref, range(nx), "blk")
+    ref.loadNodeBCs(bnd, np.zeros(len(bnd))).loadComplete()
+    x_ref, info_ref = ref.parameters(["solver cg"]).solve(rtol=1e-10)
+
+    # two ranks split at i = nx//2, interface column shared
+    half = nx // 2
+    r0, r1 = FEISystem().initFields(), FEISystem().initFields()
+    add_elems(r0, range(half), "blk")
+    add_elems(r1, range(half, nx), "blk")
+    iface = [nid(half, j) for j in range(ny + 1)]
+    r0.initSharedNodes(iface)
+    r1.initSharedNodes(iface)
+    r0.loadNodeBCs([b for b in bnd if b[0] <= half],
+                   np.zeros(sum(1 for b in bnd if b[0] <= half)))
+    r1.loadNodeBCs([b for b in bnd if b[0] >= half],
+                   np.zeros(sum(1 for b in bnd if b[0] >= half)))
+    merged = fei_assemble_shared([r0, r1])
+    x_m, info_m = merged.parameters(["solver cg"]).solve(rtol=1e-10)
+
+    # same system: compare solutions node-by-node via application IDs
+    ids_r, off_r, vals_r = ref.getNodalSolution(x_ref)
+    ids_m, off_m, vals_m = merged.getNodalSolution(x_m)
+    sol_r = dict(zip(ids_r, vals_r))
+    sol_m = dict(zip(ids_m, vals_m))
+    assert set(sol_r) == set(sol_m)
+    for k in sol_r:
+        np.testing.assert_allclose(sol_m[k], sol_r[k], rtol=1e-6, atol=1e-9)
+    assert merged.residualNorm(2, x_m) < 1e-8
+
+
+def test_fei_block_node_solution():
+    """FEI::getBlockNodeSolution returns each block's nodes + values."""
+    nx, ny = 3, 3
+    fei = _q1_poisson(nx, ny)
+    x, info = fei.parameters(["solver cg"]).solve(rtol=1e-10)
+    node_ids, offsets, values = fei.getBlockNodeSolution("blk", x)
+    assert len(node_ids) == (nx + 1) * (ny + 1)
+    assert offsets == list(range(0, len(node_ids)))
+    # boundary nodes pinned to zero, interior positive (Poisson, f=1)
+    for nid, off in zip(node_ids, offsets):
+        i, j = nid
+        if i in (0, nx) or j in (0, ny):
+            assert abs(values[off]) < 1e-8
+        else:
+            assert values[off] > 0
