@@ -1059,6 +1059,13 @@ def setup_hierarchy_device(
                   file=sys.stderr, flush=True)
 
     _log_t0 = _time.perf_counter()
+    # pre-dispatch HBM pressure guard (core/memory.py): the fine level
+    # keeps ~4 slab-sized copies alive through the split+interp merges
+    from hypre_tpu.core.memory import check_hbm_request
+
+    check_hbm_request(
+        4 * A.n_rows * max(A.k, 8) * jnp.dtype(A.dtype).itemsize * 2
+    )
     plan = width_plan if width_plan is not None else {}
     need_cheby = relax == "chebyshev"
     dtype = A.dtype

@@ -122,24 +122,48 @@ def run(argv: list[str]) -> float:
 
     import functools
 
+    def spg(Aw, Bw, w):
+        # 27-pt-class products: the raw (n, kA, kB) candidate gather
+        # lane-pads to 29 GB; route through the slot-blocked/chunked slab
+        # kernel (traceable, fixed width) like ell_spgemm's big path
+        if Aw.n_rows * Aw.k * Bw.k <= 2e8:
+            C, _ = ell_spgemm_raw(Aw, Bw, w)
+            return C
+        from hypre_tpu.amg.device_setup import spgemm_slab
+
+        sh = (
+            tuple(int(x) for x in Aw.shifts)
+            if Aw.shifts is not None
+            else None
+        )
+        ch = 1
+        if sh is None:
+            while Aw.n_rows * Aw.k * Bw.k / ch > 48e6:
+                ch *= 2
+        cc, cv, _ = spgemm_slab(
+            Aw.cols, Aw.vals, Bw.cols, Bw.vals, w, shifts=sh, chunks=ch
+        )
+        return EllMatrix(vals=cv, cols=cc, n_cols=Bw.n_cols)
+
     @functools.partial(jax.jit, static_argnames=("reps",))
     def timed(vals, reps):
         def body(r, acc):
             v = vals * (1.0 + 1e-9 * r)
-            Av = EllMatrix(vals=v, cols=A.cols, n_cols=A.n_cols)
+            Av = EllMatrix(vals=v, cols=A.cols, n_cols=A.n_cols,
+                           shifts=A.shifts)
             if job == 2:
                 T, _ = ell_transpose_raw(Av, widths["t"])
-                C, _ = ell_spgemm_raw(T, Av, widths["c"])
+                C = spg(T, Av, widths["c"])
             elif job == 4:
-                AP, _ = ell_spgemm_raw(Av, B, widths["ap"])
+                AP = spg(Av, B, widths["ap"])
                 T, _ = ell_transpose_raw(B, widths["t"])
-                C, _ = ell_spgemm_raw(T, AP, widths["c"])
+                C = spg(T, AP, widths["c"])
             elif job == 5:
                 d = Av.diagonal()
                 C = EllMatrix(vals=d[:, None] * Av.vals, cols=Av.cols,
                               n_cols=Av.n_cols)
             else:
-                C, _ = ell_spgemm_raw(Av, Av, widths["c"])
+                C = spg(Av, Av, widths["c"])
             return acc + jnp.sum(C.vals)
 
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((), vals.dtype))

@@ -175,3 +175,24 @@ def test_ame_f32_host_path():
     got = np.sort(np.asarray(lam, np.float64))
     # f32 operator entries limit agreement to ~1e-3 relative
     np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_hbm_memory_model():
+    """core/memory.py: pressure guard + tracker (utilities/memory.h
+    tracker analogue; the round-2 27-pt OOM had no pre-dispatch guard)."""
+    import pytest
+
+    from hypre_tpu.core import memory as mem
+
+    limit = mem.hbm_bytes_limit()
+    assert limit >= 2**30
+    mem.check_hbm_request(1024)  # tiny: fine
+    with pytest.raises(MemoryError):
+        mem.check_hbm_request(100 * limit)
+    assert mem.slab_element_budget() > 1e6
+    with mem.track_hbm() as rep:
+        import jax.numpy as jnp
+
+        x = jnp.ones((1024, 1024), jnp.float32) * 2.0
+        x.block_until_ready()
+    assert rep.end_bytes >= 0 and rep.peak_bytes >= rep.end_bytes - 1
