@@ -13,9 +13,12 @@ from hypre_tpu.seq.ell import (
     EllMatrix, csr_to_ell, ell_to_csr, ell_spmv, ell_spmv_t, ell_from_dense,
 )
 from hypre_tpu.seq.spgemm import (
-    ell_spgemm, ell_transpose, ell_add, ell_filter, ell_remap_cols,
+    ell_spgemm, ell_spgemm_raw, ell_transpose, ell_add, ell_filter,
+    ell_remap_cols, stencil_spgemm, stencil_transpose,
 )
-from hypre_tpu.problems.laplacian import laplacian_2d_5pt, laplacian_3d_7pt
+from hypre_tpu.problems.laplacian import (
+    laplacian_2d_5pt, laplacian_2d_9pt, laplacian_3d_7pt, laplacian_3d_27pt,
+)
 
 
 def random_csr(n, m, density, rng, dtype=np.float64):
@@ -94,6 +97,51 @@ class TestSpGEMM:
         np.testing.assert_allclose(
             ell_to_csr(C).to_dense(), A.matmat(B).to_dense(), rtol=1e-12, atol=1e-13
         )
+
+    @pytest.mark.parametrize("build,shape", [
+        (laplacian_2d_5pt, (7, 5)),
+        (laplacian_2d_9pt, (6, 7)),
+        (laplacian_3d_7pt, (5, 4, 3)),
+        (laplacian_3d_27pt, (4, 5, 3)),
+    ])
+    def test_stencil_spgemm_matches_dense(self, build, shape, rng):
+        # roll-composition product vs the dense oracle, boundaries included;
+        # randomized values break the constant-coefficient symmetry
+        A = build(*shape)
+        A = EllMatrix(
+            vals=jnp.asarray(
+                np.where(np.asarray(A.cols) >= 0,
+                         rng.standard_normal(A.vals.shape), 0),
+                A.vals.dtype),
+            cols=A.cols, n_cols=A.n_cols, shifts=A.shifts)
+        C = stencil_spgemm(A, A)
+        assert C.shifts is not None
+        Ad = np.asarray(ell_to_csr(A).to_dense())
+        np.testing.assert_allclose(
+            np.asarray(ell_to_csr(C).to_dense()), Ad @ Ad,
+            rtol=1e-5, atol=1e-5)
+        # structural exactness: the mask must match the offsets' validity
+        T = stencil_transpose(A)
+        np.testing.assert_allclose(
+            np.asarray(ell_to_csr(T).to_dense()), Ad.T, rtol=1e-6, atol=0)
+        # mixed-stencil product (different offset sets)
+        B = build(*shape)
+        C2 = stencil_spgemm(T, B)
+        np.testing.assert_allclose(
+            np.asarray(ell_to_csr(C2).to_dense()),
+            Ad.T @ np.asarray(ell_to_csr(B).to_dense()),
+            rtol=1e-5, atol=1e-5)
+
+    def test_ell_spgemm_routes_stencil(self):
+        # the dispatcher must return a shift-structured product for
+        # stencil operands and agree with the slab path
+        A = laplacian_3d_27pt(4, 4, 4)
+        C = ell_spgemm(A, A)
+        assert C.shifts is not None
+        C_raw, _ = ell_spgemm_raw(A, A, 130)
+        np.testing.assert_allclose(
+            np.asarray(ell_to_csr(C).to_dense()),
+            np.asarray(ell_to_csr(C_raw).to_dense()), rtol=1e-5, atol=1e-5)
 
     def test_rap_laplacian(self):
         # Galerkin sanity: P = aggregation of 1D pairs, RAP stays SPD
