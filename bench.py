@@ -265,6 +265,36 @@ def main():
         "HBM roofline)"
     )
 
+    # Last-resort fallback: a fully COLD compile cache puts the first setup
+    # warmup at 700+ s on this tunnel (measured), which can outlast the
+    # harness timeout before the real headline exists. `timeout` kills with
+    # SIGTERM first — catch it and emit the already-measured SpMV metric as
+    # an honest partial headline (BASELINE.json names SpMV GB/s per chip as
+    # a co-headline metric) so the round still records a real number.
+    _printed_real_headline = [False]
+
+    def _sigterm_fallback(signum, frame):
+        if not _printed_real_headline[0]:
+            print(
+                json.dumps(
+                    {
+                        "metric": "spmv_gbps_per_chip_7pt_128cube",
+                        "value": round(gbps, 1),
+                        "unit": "GB/s",
+                        "vs_baseline": round(roofline_frac, 3),
+                        "note": (
+                            "partial: killed during cold-cache AMG setup "
+                            "compile; vs_baseline = fraction of the 819 "
+                            "GB/s v5e HBM roofline"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+        raise SystemExit(124)
+
+    signal.signal(signal.SIGTERM, _sigterm_fallback)
+
     # --- AMG-PCG setup, fully on-device (amg/device_setup.py: PMIS +
     # aggressive distance-2 second pass + multipass interp + slab RAP —
     # hypre's par_amg_setup.c device path). Warmup runs the identical
@@ -351,6 +381,33 @@ def main():
         f"setup+solve vs hypre: {(HYPRE_SETUP_S+HYPRE_SOLVE_S)/(setup_s+solve_s):.3f}x"
     )
 
+    # =====================================================================
+    # HEADLINE JSON — printed NOW, the instant setup+solve are measured,
+    # before the refined tier (extra compiles) and any auxiliary section,
+    # so nothing downstream can lose it (round 2's number died this way:
+    # BENCH_r02 was rc=124/parsed=null behind a 73 s struct setup + an
+    # un-gated 27-pt OOM; a cold compile cache can starve later stages the
+    # same way). Later stages re-print the line AUGMENTED with their
+    # fields; consumers take the last parseable line.
+    # =====================================================================
+    total = setup_s + solve_s
+    hypre_total = HYPRE_SETUP_S + HYPRE_SOLVE_S
+    headline = {
+        "metric": "amg_pcg_setup_plus_solve_128cube_7pt",
+        "value": round(total, 4),
+        "unit": "seconds",
+        "vs_baseline": round(hypre_total / total, 4),
+        "setup_seconds": round(setup_s, 4),
+        "solve_seconds": round(solve_s, 4),
+        "solve_vs_baseline": round(HYPRE_SOLVE_S / solve_s, 4),
+        "iterations": int(info.iterations),
+        "true_rel_res": true_rel,
+        "spmv_gbps": round(gbps, 1),
+        "spmv_roofline_frac": round(roofline_frac, 3),
+    }
+    print(json.dumps(headline), flush=True)
+    _printed_real_headline[0] = True
+
     # higher-accuracy tier: device-resident refinement with error-free-
     # transform residuals (seq/twofloat.py) — pure f32 chip arithmetic
     # reproducing hypre's f64 1e-8-class golden residuals
@@ -368,56 +425,37 @@ def main():
     # tolerance schedule: two heavy-reduction passes + a polish — each pass
     # multiplies the TRUE residual by its contraction since the two-float
     # residual evaluation never floors at f32 rounding
-    refined = make_device_refiner(
-        [make_inner(1e-4, 30), make_inner(1e-4, 20), make_inner(1e-2, 10)],
-        residual_2f=True,
-    )
-    xh, xl, _ = refined(Afast, hier_fast, b)
-    _ = float(jnp.sum(xh))
-    refined_s = float("inf")
-    for _ in range(3):
-        bt = jnp.asarray(rng.random(A.n_rows, np.float32))
-        _ = float(jnp.sum(bt))
-        t0 = time.perf_counter()
-        xh2, xl2, _ = refined(Afast, hier_fast, bt)
-        _ = float(jnp.sum(xh2))
-        refined_s = min(refined_s, time.perf_counter() - t0)
-    xh, xl, _ = refined(Afast, hier_fast, b)
-    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
-    from hypre_tpu import native as _nat
-    from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays as _e2c
+    with deadline_guard("refined tier", min_s=45) as go:
+      if go:
+        refined = make_device_refiner(
+            [make_inner(1e-4, 30), make_inner(1e-4, 20), make_inner(1e-2, 10)],
+            residual_2f=True,
+        )
+        xh, xl, _ = refined(Afast, hier_fast, b)
+        _ = float(jnp.sum(xh))
+        refined_s = float("inf")
+        for _ in range(3):
+            bt = jnp.asarray(rng.random(A.n_rows, np.float32))
+            _ = float(jnp.sum(bt))
+            t0 = time.perf_counter()
+            xh2, xl2, _ = refined(Afast, hier_fast, bt)
+            _ = float(jnp.sum(xh2))
+            refined_s = min(refined_s, time.perf_counter() - t0)
+        xh, xl, _ = refined(Afast, hier_fast, b)
+        x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        from hypre_tpu import native as _nat
+        from hypre_tpu.amg.hierarchy import _ell_to_csr_arrays as _e2c
 
-    _n, _Ap, _Aj, _Ax = _e2c(A)
-    rres = np.ones(_n) - _nat.matvec(_n, _Ap, _Aj, _Ax, x64)
-    rel_ref = float(np.linalg.norm(rres) / np.sqrt(_n))
-    log(
-        f"two-float refined solve: {refined_s:.3f}s, true rel {rel_ref:.2e} "
-        f"— {HYPRE_SOLVE_S/refined_s:.2f}x hypre solve"
-    )
-
-    # =====================================================================
-    # HEADLINE JSON — printed NOW, before any auxiliary section, so no aux
-    # OOM/hang can lose it (round 2's number died this way: BENCH_r02 was
-    # rc=124/parsed=null behind a 73 s struct setup + an un-gated 27-pt OOM)
-    # =====================================================================
-    total = setup_s + solve_s
-    hypre_total = HYPRE_SETUP_S + HYPRE_SOLVE_S
-    headline = {
-        "metric": "amg_pcg_setup_plus_solve_128cube_7pt",
-        "value": round(total, 4),
-        "unit": "seconds",
-        "vs_baseline": round(hypre_total / total, 4),
-        "setup_seconds": round(setup_s, 4),
-        "solve_seconds": round(solve_s, 4),
-        "solve_vs_baseline": round(HYPRE_SOLVE_S / solve_s, 4),
-        "iterations": int(info.iterations),
-        "true_rel_res": true_rel,
-        "refined_solve_seconds": round(refined_s, 4),
-        "refined_true_rel_res": rel_ref,
-        "spmv_gbps": round(gbps, 1),
-        "spmv_roofline_frac": round(roofline_frac, 3),
-    }
-    print(json.dumps(headline), flush=True)
+        _n, _Ap, _Aj, _Ax = _e2c(A)
+        rres = np.ones(_n) - _nat.matvec(_n, _Ap, _Aj, _Ax, x64)
+        rel_ref = float(np.linalg.norm(rres) / np.sqrt(_n))
+        log(
+            f"two-float refined solve: {refined_s:.3f}s, true rel "
+            f"{rel_ref:.2e} — {HYPRE_SOLVE_S/refined_s:.2f}x hypre solve"
+        )
+        headline["refined_solve_seconds"] = round(refined_s, 4)
+        headline["refined_true_rel_res"] = rel_ref
+        print(json.dumps(headline), flush=True)  # augmented re-print
     aux: dict = {}
 
     # --- BASELINE.json's named metric: 27-pt 3-D Laplacian at the same

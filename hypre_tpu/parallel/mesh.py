@@ -18,6 +18,14 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
+            if len(devices) < num_devices:
+                raise ValueError(
+                    f"make_mesh({num_devices}) but only {len(devices)} "
+                    f"devices visible on backend "
+                    f"'{jax.default_backend()}' — pass devices= explicitly "
+                    "(e.g. jax.devices('cpu') with "
+                    "--xla_force_host_platform_device_count)"
+                )
             devices = devices[:num_devices]
     return Mesh(np.array(devices), (ROW_AXIS,))
 

@@ -176,6 +176,8 @@ def par_spmv_t(A: ParEllMatrix, x: jax.Array) -> jax.Array:
 
     def shard_fn(dvals, dcols, ovals, ocols, send_idx, x_local):
         y = _local_spmv_t(dvals, dcols, x_local, n_col_local)
+        if not sizes:  # single-shard mesh: no off-diag contributions
+            return y
         contrib = _local_spmv_t(ovals, ocols, x_local, max(M, 1))
         back = _exchange_rev(contrib[:M], offsets, sizes, nshards)
         # padding slots scatter out of bounds and are dropped

@@ -78,7 +78,14 @@ def _ext_matrix(dvals, dcols, ovals, ocols, n_col_local):
 def _fetch(payload, send_idx0, offsets, sizes, nshards):
     """Forward halo fetch of per-row payloads (vectors or 2-D slabs).
     Padding slots (send_idx == -1) ship row 0's data; receivers never
-    reference those halo positions."""
+    reference those halo positions. An EMPTY schedule (single-shard mesh:
+    sizes == ()) still carries a width-1 padded send_idx; return an all-pad
+    halo of that width so concatenated ext buffers keep their static
+    shapes."""
+    if not sizes:
+        return jnp.zeros(
+            (send_idx0.shape[0],) + payload.shape[1:], payload.dtype
+        )
     return _exchange(
         payload[jnp.maximum(send_idx0, 0)], offsets, sizes, nshards
     )
@@ -87,7 +94,10 @@ def _fetch(payload, send_idx0, offsets, sizes, nshards):
 def _return_add(local, tail, send_idx0, offsets, sizes, nshards, combine):
     """Reverse exchange of the halo tail, combined into local rows at the
     pack positions (hypre's reverse-comm accumulate). Padding slots
-    scatter out of bounds and are dropped."""
+    scatter out of bounds and are dropped. An empty schedule (single-shard
+    mesh) has nothing to return-accumulate."""
+    if not sizes:
+        return local
     back = _exchange_rev(tail, offsets, sizes, nshards)
     dst = jnp.where(send_idx0 >= 0, send_idx0, local.shape[0])
     if combine == "add":
@@ -362,11 +372,9 @@ def par_rap_phase(A: ParEllMatrix, Ppar: ParEllMatrix, out_ap: int,
 
         # globalize P's columns: diag part is local coarse + c_lo; offd part
         # holds halo positions whose global ids we fetch from the owners
-        halo_gcol = _exchange(
-            (jnp.arange(nc_l, dtype=jnp.int32) + c_lo)[
-                jnp.maximum(psend0, 0)
-            ],
-            p_off, p_sz, nshards,
+        halo_gcol = _fetch(
+            jnp.arange(nc_l, dtype=jnp.int32) + c_lo,
+            psend0, p_off, p_sz, nshards,
         )
         kpd = pdcols.shape[1]
         p_gcols = jnp.concatenate(
@@ -697,9 +705,7 @@ def _transpose_sharded(Ppar: ParEllMatrix, n_coarse: int):
     def body(pocols, psend):
         gids = (jnp.arange(nc_part.n_local, dtype=jnp.int32)
                 + lax.axis_index(ROW_AXIS) * nc_part.n_local)
-        halo_g = _exchange(
-            gids[jnp.maximum(psend[0], 0)], Ppar.offsets, Ppar.sizes, nshards
-        )
+        halo_g = _fetch(gids, psend[0], Ppar.offsets, Ppar.sizes, nshards)
         return jnp.where(
             pocols >= 0, halo_g[jnp.maximum(pocols, 0)], PAD_COL
         )
@@ -747,9 +753,7 @@ def _gather_dense(A: ParEllMatrix) -> np.ndarray:
     def body(pocols, psend):
         gids = (jnp.arange(ncl, dtype=jnp.int32)
                 + lax.axis_index(ROW_AXIS) * ncl)
-        halo_g = _exchange(
-            gids[jnp.maximum(psend[0], 0)], A.offsets, A.sizes, A.num_shards
-        )
+        halo_g = _fetch(gids, psend[0], A.offsets, A.sizes, A.num_shards)
         return jnp.where(pocols >= 0, halo_g[jnp.maximum(pocols, 0)], PAD_COL)
 
     spec = P(ROW_AXIS)
