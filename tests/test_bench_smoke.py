@@ -13,11 +13,15 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The FIRST JSON line is printed the instant setup+solve are measured —
+# before the refined tier, whose extra compiles could starve it under a
+# cold cache — so it carries the core fields only; the refined fields are
+# re-printed on the augmented lines that follow.
 REQUIRED_FIELDS = {
     "metric", "value", "unit", "vs_baseline", "setup_seconds",
     "solve_seconds", "iterations", "true_rel_res", "spmv_gbps",
-    "refined_true_rel_res",
 }
+REFINED_FIELDS = {"refined_true_rel_res", "refined_solve_seconds"}
 
 
 @pytest.mark.slow
@@ -40,13 +44,17 @@ def test_headline_json_survives_dry_run():
         l for l in out.stdout.splitlines() if l.strip().startswith("{")
     ]
     assert json_lines, f"no JSON on stdout; stderr tail: {out.stderr[-2000:]}"
-    # BOTH first and last JSON lines must carry the full headline field set
-    # (the harness may read either)
+    # BOTH first and last JSON lines must carry the core headline field set
+    # (the harness may read either); the refined tier ran here (ample
+    # budget), so the LAST line must also carry its fields
     for line in (json_lines[0], json_lines[-1]):
         rec = json.loads(line)
         missing = REQUIRED_FIELDS - rec.keys()
         assert not missing, f"headline JSON missing {missing}: {rec}"
         assert rec["value"] > 0
+    last = json.loads(json_lines[-1])
+    missing_ref = REFINED_FIELDS - last.keys()
+    assert not missing_ref, f"augmented JSON missing {missing_ref}: {last}"
 
 
 @pytest.mark.slow
