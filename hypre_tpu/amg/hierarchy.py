@@ -66,6 +66,10 @@ class AMGHierarchy:
     coarse_inv: jax.Array  # dense (pseudo)inverse of the coarsest operator
     # False when restriction != P^T (AIR): Pt then holds R and must be kept
     galerkin: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # TRUE fine row count when the device setup row-bucketed the levels
+    # (levels[0].A then has n_fine <= n_rows padded empty rows at the tail);
+    # 0 = unpadded. amg_cycle pads/unpads vectors automatically.
+    n_fine: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_levels(self) -> int:
@@ -373,9 +377,20 @@ def amg_cycle(
                 u = sm(lev, u, f)
         return u
 
+    n_pad = hier.levels[0].A.vec_len_rows if hier.levels else (
+        hier.coarse_inv.shape[0])
+    unpad = 0
+    if hier.n_fine and f.shape[0] != n_pad:
+        # row-bucketed hierarchy driven with a true-size vector: pad in,
+        # slice out (padded rows carry exact zeros through the cycle)
+        unpad = f.shape[0]
+        f = jnp.zeros(n_pad, f.dtype).at[:unpad].set(f)
+        if u is not None:
+            u = jnp.zeros(n_pad, u.dtype).at[:unpad].set(u)
     if u is None:
         u = jnp.zeros_like(f)
-    return descend(0, f, u, cycle_type)
+    out = descend(0, f, u, cycle_type)
+    return out[:unpad] if unpad else out
 
 
 def amg_cycle_t(
@@ -421,9 +436,18 @@ def amg_cycle_t(
                 u = u + relax_weight * lev.dinv * (f - lev.A.mv_t(u))
         return u
 
+    n_pad = hier.levels[0].A.vec_len_rows if hier.levels else (
+        hier.coarse_inv.shape[0])
+    unpad = 0
+    if hier.n_fine and f.shape[0] != n_pad:
+        unpad = f.shape[0]
+        f = jnp.zeros(n_pad, f.dtype).at[:unpad].set(f)
+        if u is not None:
+            u = jnp.zeros(n_pad, u.dtype).at[:unpad].set(u)
     if u is None:
         u = jnp.zeros_like(f)
-    return descend(0, f, u)
+    out = descend(0, f, u)
+    return out[:unpad] if unpad else out
 
 
 def amg_additive_cycle(
@@ -464,6 +488,14 @@ def amg_additive_cycle(
     is exactly hypre's documented equivalence).
     """
     smoother = smoother or make_smoother("l1-jacobi", 1.0, 2, 0.3)
+    n_pad0 = hier.levels[0].A.vec_len_rows if hier.levels else (
+        hier.coarse_inv.shape[0])
+    unpad = 0
+    if hier.n_fine and f.shape[0] != n_pad0:
+        unpad = f.shape[0]
+        f = jnp.zeros(n_pad0, f.dtype).at[:unpad].set(f)
+        if u is not None:
+            u = jnp.zeros(n_pad0, u.dtype).at[:unpad].set(u)
     if u is None:
         u = jnp.zeros_like(f)
     n_lev = len(hier.levels)
@@ -513,7 +545,7 @@ def amg_additive_cycle(
         u_l = u_prev + lev.P.mv(u_l)
         for _ in range(num_sweeps):
             u_l = smoother(lev, u_l, f_prev)
-    return u_l
+    return u_l[:unpad] if unpad else u_l
 
 
 def optimize_hierarchy(
@@ -586,7 +618,8 @@ def optimize_hierarchy(
             refresh_lmax(dataclasses.replace(lev, A=A, P=P, Pt=Pt), A)
         )
     return AMGHierarchy(
-        levels=new_levels, coarse_inv=hier.coarse_inv, galerkin=hier.galerkin
+        levels=new_levels, coarse_inv=hier.coarse_inv, galerkin=hier.galerkin,
+        n_fine=hier.n_fine,
     )
 
 

@@ -33,7 +33,8 @@ def parse_args(argv):
         fromfile=None, eps=1.0, two_norm=True, poutdat=0,
         additive=-1, add_variant="additive", rlx_wt=1.0, cheby_eig_est=0,
         relax_order=0, max_row_sum=0.9, smooth_type="",
-        smooth_num_levels=0, smooth_weight=1.0,
+        smooth_num_levels=0, smooth_weight=1.0, recompute_res=1,
+        recompute_res_p=0,
     )
     it = iter(range(len(argv)))
     i = 0
@@ -85,6 +86,12 @@ def parse_args(argv):
             a["relax_order"] = int(take())
         elif f == "-tol":
             a["tol"] = float(take())
+        elif f == "-recompute":
+            # ij.c:1634 -recompute <0|1> -> HYPRE_PCGSetRecomputeResidual;
+            # defaults ON here (f32-native chip, see krylov/pcg.py)
+            a["recompute_res"] = int(take())
+        elif f == "-recompute_p":
+            a["recompute_res_p"] = int(take())
         elif f == "-max_iter":
             a["max_iter"] = int(take())
         elif f == "-th":
@@ -203,14 +210,18 @@ def run(argv) -> tuple[int, float]:
 
     s = a["solver"]
     kw = dict(rtol=a["tol"], maxiter=a["max_iter"])
+    pcg_kw = dict(
+        recompute_residual=bool(a["recompute_res"]),
+        recompute_residual_p=a["recompute_res_p"],
+    )
     if a["poutdat"] >= 2:
         kw["logging"] = 1
     if s == 0:
         x, info = amg().solve(b, rtol=a["tol"], maxiter=a["max_iter"])
     elif s == 1:
-        x, info = pcg(op, b, M=amg().precond(), **kw)
+        x, info = pcg(op, b, M=amg().precond(), **kw, **pcg_kw)
     elif s == 2:
-        x, info = pcg(op, b, M=lambda r: dinv * r, **kw)
+        x, info = pcg(op, b, M=lambda r: dinv * r, **kw, **pcg_kw)
     elif s == 3:
         x, info = gmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
     elif s == 4:
@@ -220,13 +231,13 @@ def run(argv) -> tuple[int, float]:
     elif s == 6:
         x, info = cgnr(op, lambda v: ell_spmv_t(A, v), b, **kw)
     elif s == 8:
-        x, info = pcg(op, b, M=ParaSails().setup(A).precond(), **kw)
+        x, info = pcg(op, b, M=ParaSails().setup(A).precond(), **kw, **pcg_kw)
     elif s == 9:
         x, info = bicgstab(op, b, M=amg().precond(), **kw)
     elif s == 10:
         x, info = bicgstab(op, b, M=lambda r: dinv * r, **kw)
     elif s == 12:
-        x, info = pcg(op, b, M=Schwarz().setup(A).precond(), **kw)
+        x, info = pcg(op, b, M=Schwarz().setup(A).precond(), **kw, **pcg_kw)
     elif s in (13, 14, 15):
         from hypre_tpu.amg.gsmg import GSMG
 
@@ -235,7 +246,7 @@ def run(argv) -> tuple[int, float]:
         if s == 13:
             x, info = gs.solve(b, rtol=a["tol"], maxiter=a["max_iter"])
         elif s == 14:
-            x, info = pcg(op, b, M=gs.precond(), **kw)
+            x, info = pcg(op, b, M=gs.precond(), **kw, **pcg_kw)
         else:
             x, info = gmres(op, b, M=gs.precond(), k_dim=a["k_dim"], **kw)
     elif s == 16:
@@ -245,7 +256,7 @@ def run(argv) -> tuple[int, float]:
     elif s == 20:
         x, info = HybridSolver().setup(A).solve(b, rtol=a["tol"])
     elif s == 31:
-        x, info = pcg(op, b, M=FSAI().setup(A).precond(), **kw)
+        x, info = pcg(op, b, M=FSAI().setup(A).precond(), **kw, **pcg_kw)
     elif s == 50:
         x, info = lgmres(op, b, M=amg().precond(), k_dim=a["k_dim"], **kw)
     elif s == 60:
@@ -265,7 +276,7 @@ def run(argv) -> tuple[int, float]:
 
         M = Euclid(level=1).setup(A).precond()
         if s == 43:
-            x, info = pcg(op, b, M=M, **kw)
+            x, info = pcg(op, b, M=M, **kw, **pcg_kw)
         else:
             x, info = gmres(op, b, M=M, k_dim=a["k_dim"], **kw)
     elif s == 81:

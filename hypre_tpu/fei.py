@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -177,6 +178,50 @@ class FEISystem:
             rhs = jnp.asarray(rhs)
         self.A, self.b = A, rhs
         return self
+
+    def element_null_candidates(self, num_vectors: int = 3,
+                                sweeps: int = 20, seed: int = 0):
+        """Near-null-space candidates derived from the ELEMENT data — the
+        femli FE-data-driven coarsening slice (``mli_amgsa_calib.cxx``:
+        calibrate extra null-space vectors by smoothing against the
+        operator; ``mli_method_amgsa::setupCalibration``). The element
+        matrices are assembled WITHOUT boundary conditions (the Neumann
+        operator A_n, whose exact null space is the rigid-body modes the
+        elements share), and ``num_vectors`` random vectors are relaxed on
+        A_n z = 0 with l1-Jacobi: high-energy components die at the rate
+        of their eigenvalues, leaving a basis for the low-energy modes.
+        Feed the result to ``SmoothedAggAMG(null_space=...)`` — for ex10-
+        style elasticity this recovers rotation-like modes no coordinate
+        input was given for.
+
+        Returns (n_dofs, num_vectors) float32, per-column normalized."""
+        n = self.n_dofs
+        ij = IJMatrix(n, n)
+        for blk in self._elems.values():
+            for conn, ke in zip(blk["conn"], blk["mats"]):
+                rows = np.repeat(conn, len(conn))
+                cols = np.tile(conn, len(conn))
+                ij.add_to_values(rows, cols, ke.reshape(-1))
+        An = ij.assemble().get_object()
+        l1 = jnp.sum(jnp.abs(An.vals), axis=1)
+        l1inv = 1.0 / jnp.where(l1 > 0, l1, 1.0)
+        rng = np.random.default_rng(seed)
+        Z = jnp.asarray(
+            rng.standard_normal((n, num_vectors)), An.dtype
+        )
+        # constants are ALWAYS near-null for a Neumann operator: seed the
+        # first column with them so the block contains the classical SA
+        # candidate exactly
+        Z = Z.at[:, 0].set(1.0)
+        for _ in range(sweeps):
+            R = jax.vmap(lambda z: ell_spmv(An, z), in_axes=1, out_axes=1)(Z)
+            Z = Z - l1inv[:, None] * R
+            Z = Z / jnp.maximum(
+                jnp.linalg.norm(Z, axis=0, keepdims=True), 1e-30
+            )
+        # orthonormalize so the tentative-prolongator QR stays stable
+        Q, _ = jnp.linalg.qr(Z)
+        return Q
 
     # -- solve dispatch (HYPRE_LSC_aux.cxx parameters strings) -----------------
 

@@ -26,9 +26,23 @@ def bicgstab(
     atol: float = 0.0,
     maxiter: int = 1000,
     logging: int = 0,
+    recompute_residual: bool = False,
+    residual_fn: Optional[LinearOp] = None,
+    final_residual: bool = True,
 ) -> tuple[jax.Array, ConvergenceInfo]:
+    """recompute_residual: on a tentative convergence pass, recompute
+    r = b - A x from scratch, redo the test, and keep iterating on the
+    fresh residual if it fails (the PCG recompute semantics of
+    krylov/pcg.h:97-118 applied here; defaults OFF like hypre).
+    final_residual (default ON): recompute the REPORTED residual once
+    after the loop so it can never drift from the truth — no change to
+    iteration counts. residual_fn optionally supplies an exact evaluator
+    (e.g. seq/twofloat.py)."""
     M = M or identity_precond
     x = jnp.zeros_like(b) if x0 is None else x0
+    res_fn = residual_fn if residual_fn is not None else (
+        lambda xv: b - A(xv)
+    )
 
     r = b - A(x)
     rhat = r
@@ -59,6 +73,14 @@ def bicgstab(
         x = x + alpha * ph + omega * sh
         r = s - omega * t
         i_prod = dot(r, r)
+        if recompute_residual:
+            def _recomp(_):
+                r2 = res_fn(x)
+                return r2, dot(r2, r2)
+
+            r, i_prod = jax.lax.cond(
+                i_prod <= eps, _recomp, lambda _: (r, i_prod), None
+            )
         ok = jnp.isfinite(i_prod) & (rho_new != 0) & (rv != 0) & (tt > 0)
         if logging > 0:
             norms = norms.at[it + 1].set(jnp.sqrt(jnp.maximum(i_prod, 0.0)))
@@ -76,7 +98,12 @@ def bicgstab(
     x, r, *_, i_prod, iters, ok, norms = jax.lax.while_loop(cond, body, state)
 
     safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
-    rel = jnp.sqrt(jnp.maximum(i_prod, 0.0) / safe_b)
+    if final_residual:
+        rf = res_fn(x)
+        i_rep = dot(rf, rf)
+    else:
+        i_rep = i_prod
+    rel = jnp.sqrt(jnp.maximum(i_rep, 0.0) / safe_b)
     converged = ((i_prod <= eps) & ok) | (b_prod == 0)
     return x, make_convergence_info(
         iters, rel, converged,

@@ -35,6 +35,26 @@ from hypre_tpu.seq.ell import EllMatrix, ell_spmv
 ALIGN = 1024  # HBM 1-D tiling: dynamic-slice starts must be multiples
 
 
+def _wbucket(w: int) -> int:
+    """Window-size bucket ({1, 1.5} x 2^k, ALIGN multiples only — the
+    kernel reshapes the window to (W/128, 128) and Mosaic needs W/128 a
+    multiple of 8 sublanes, i.e. W a multiple of 1024): the program keys
+    on W, and per-problem exact windows would recompile the whole solve
+    program for every new grid (round-4 shape robustness)."""
+    b = ALIGN
+    while b < w:
+        half = 3 * b // 2
+        if half >= w and half % ALIGN == 0:
+            return half
+        b *= 2
+    return b
+
+
+def _xpad_bucket(m: int) -> int:
+    """Padded-x length bucket (same ladder, ALIGN multiples)."""
+    return _wbucket(m)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BandedEll:
@@ -323,10 +343,10 @@ def try_banded(
     # cost ~130 ms per operator, 5x this one)
     vals_t, lcols_t, lo_d, sc = _banded_sched_payload(A.vals, A.cols, B, n_pad)
     wmax, lomax = (int(v) for v in np.asarray(sc))
-    W = -(-wmax // ALIGN) * ALIGN
+    W = _wbucket(wmax)
     if W > max_window:
         return None
-    n_xpad = int(max(lomax + W, -(-A.n_cols // ALIGN) * ALIGN))
+    n_xpad = _xpad_bucket(max(lomax + W, A.n_cols))
     return BandedEll(
         ell=A,
         vals_t=vals_t,

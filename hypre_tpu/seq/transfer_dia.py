@@ -84,6 +84,8 @@ class TransferDia:
 
 import functools as _ft
 
+from hypre_tpu.seq.dia import _margin_for, _shift1d_dyn
+
 
 @_ft.partial(jax.jit, static_argnames=("max_offsets",))
 def _distinct_diffs(pc, c2f, max_offsets):
@@ -167,13 +169,12 @@ def probe_transfer_offsets(pc, cf, nc: int, max_offsets: int = 96):
     return tuple(sorted(int(o) for o in offs))
 
 
-@_ft.partial(jax.jit, static_argnames=("nc", "offs", "B"))
-def _build_fused(pc, pv, cf, nc, offs, B=1024):
+@_ft.partial(jax.jit, static_argnames=("nc", "D", "margin", "B"))
+def _build_fused(pc, pv, cf, nc, offs_arr, D, margin, B=1024):
     """Diagonal planes (scatter-add over offset ids — one 7.8 ns/elt pass
     instead of |offs| masked sweeps), their transpose, and the expand /
     compress selection payloads with their window schedules: the whole
     TransferDia build as one program. Only 4 scalars go back to host."""
-    from hypre_tpu.seq.dia import _shift1d
     from hypre_tpu.seq.fastmv import _payload_impl, _sched_impl
 
     n, k = pc.shape
@@ -184,16 +185,17 @@ def _build_fused(pc, pv, cf, nc, offs, B=1024):
     valid = pc >= 0
     pf = jnp.where(valid, c2f[jnp.maximum(pc, 0)], 0)
     diff = pf - jnp.arange(n, dtype=jnp.int32)[:, None]
-    offs_arr = jnp.asarray(offs, jnp.int32)
-    oid = jnp.clip(jnp.searchsorted(offs_arr, diff), 0, len(offs) - 1)
+    oid = jnp.clip(jnp.searchsorted(offs_arr, diff), 0, D - 1)
     hit = valid & (offs_arr[oid] == diff)
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
     dvals = (
-        jnp.zeros((len(offs), n), pv.dtype)
+        jnp.zeros((D, n), pv.dtype)
         .at[oid, rows]
         .add(jnp.where(hit, pv, 0))
     )
-    dvalsT = jnp.stack([_shift1d(dvals[d], -o) for d, o in enumerate(offs)])
+    dvalsT = jnp.stack(
+        [_shift1d_dyn(dvals[d], -offs_arr[d], margin) for d in range(D)]
+    )
 
     is_c_row = cf == _C_PT
     cmap_dense = (jnp.cumsum(is_c_row.astype(jnp.int32)) - 1).astype(
@@ -201,8 +203,12 @@ def _build_fused(pc, pv, cf, nc, offs, B=1024):
     )
     e_vals = jnp.where(is_c_row, 1.0, 0.0).astype(pv.dtype)[:, None]
     e_cols = jnp.where(is_c_row, cmap_dense, -1).astype(jnp.int32)[:, None]
-    c_cols = c2f[:, None]
-    c_vals = jnp.ones((nc, 1), pv.dtype)
+    # coarse rows beyond the true C count (bucket padding) carry the sort
+    # sentinel — mask them to empty selection rows, else the compress
+    # window schedule sees a 2^30 "column" and rejects the build
+    c_valid = c2f < jnp.int32(2**30)
+    c_cols = jnp.where(c_valid, c2f, -1)[:, None]
+    c_vals = jnp.where(c_valid, 1.0, 0.0).astype(pv.dtype)[:, None]
 
     def pad_to(x, m, fill):
         r = x.shape[0]
@@ -245,27 +251,41 @@ def build_transfer_dia(P, cf, offs, exact: int = 0,
     n = P.n_rows
     nc = P.n_cols
     B = 1024
+    # pad the offset COUNT to a bucket (repeat the last offset: searchsorted
+    # resolves duplicates to the first slot, so padded planes stay zero) —
+    # the fused program and the DIA kernels then key on the bucket, not the
+    # exact diagonal count
+    from hypre_tpu.amg.device_setup import _bucket as _kbucket
+
+    D = _kbucket(len(offs))
+    offs_p = tuple(offs) + (offs[-1],) * (D - len(offs))
+    margin = _margin_for(offs_p, n)
+    offs_arr = jnp.asarray(offs_p, jnp.int32)
     (dvals, dvalsT, e_vals, e_cols, c_cols, c_vals, ev_t, el_t, lo_e,
-     cv_t, cl_t, lo_c, sc) = _build_fused(P.cols, P.vals, cf, nc, offs)
+     cv_t, cl_t, lo_c, sc) = _build_fused(P.cols, P.vals, cf, nc,
+                                          offs_arr, D, margin)
+    from hypre_tpu.seq.fastmv import _wbucket, _xpad_bucket
+
     wm_e, lm_e, wm_c, lm_c = (int(v) for v in np.asarray(sc))
-    W_e = -(-wm_e // ALIGN) * ALIGN
-    W_c = -(-wm_c // ALIGN) * ALIGN
+    W_e = _wbucket(wm_e)
+    W_c = _wbucket(wm_c)
     if W_e > max_window or W_c > max_window:
         return None
-    P_dia = DiaMatrix(dvals=dvals, offsets=offs, n_cols=n)
+    P_dia = DiaMatrix(dvals=dvals, offsets=offs_p, n_cols=n, margin=margin)
     Pt_dia = DiaMatrix(
-        dvals=dvalsT, offsets=tuple(-o for o in offs), n_cols=n
+        dvals=dvalsT, offsets=tuple(-o for o in offs_p), n_cols=n,
+        margin=margin,
     )
     Eb = BandedEll(
         ell=EllMatrix(vals=e_vals, cols=e_cols, n_cols=nc),
         vals_t=ev_t, lcols_t=el_t, starts=lo_e, W=W_e, B=B,
-        n_xpad=int(max(lm_e + W_e, -(-nc // ALIGN) * ALIGN)),
+        n_xpad=_xpad_bucket(max(lm_e + W_e, nc)),
         exact=exact, n_rows_s=n, n_cols_s=nc,
     )
     Cb = BandedEll(
         ell=EllMatrix(vals=c_vals, cols=c_cols, n_cols=n),
         vals_t=cv_t, lcols_t=cl_t, starts=lo_c, W=W_c, B=B,
-        n_xpad=int(max(lm_c + W_c, -(-n // ALIGN) * ALIGN)),
+        n_xpad=_xpad_bucket(max(lm_c + W_c, n)),
         exact=exact, n_rows_s=nc, n_cols_s=n,
     )
     return TransferDia(

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hypre_tpu.seq.dia import DiaMatrix, _shift1d
+from hypre_tpu.seq.dia import DiaMatrix, _shift1d_dyn
 
 _SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for f32 (24-bit mantissa)
 
@@ -63,8 +63,8 @@ def dia_mv_2f(A: DiaMatrix, x: jax.Array):
     relative. Pure shifted slices + elementwise EFTs — one fused HBM pass."""
     s = jnp.zeros(A.n_rows, A.dtype)
     c = jnp.zeros(A.n_rows, A.dtype)
-    for d, o in enumerate(A.offsets):
-        p, pe = two_prod(A.dvals[d], _shift1d(x, o))
+    for d in range(A.D):
+        p, pe = two_prod(A.dvals[d], _shift1d_dyn(x, A.offsets[d], A.margin))
         s, e = two_sum(s, p)
         c = c + (e + pe)
     return fast_two_sum(s, c)
@@ -81,8 +81,9 @@ def dia_residual_2f(A: DiaMatrix, b: jax.Array, x_hi: jax.Array,
     so ITS cancellation against r is exact."""
     s = b
     c = jnp.zeros_like(b)
-    for d, o in enumerate(A.offsets):
-        p, pe = two_prod(A.dvals[d], _shift1d(x_hi, o))
+    for d in range(A.D):
+        p, pe = two_prod(A.dvals[d], _shift1d_dyn(x_hi, A.offsets[d],
+                                                  A.margin))
         s, e = two_sum(s, -p)
         c = c + (e - pe)
     lo_term = A.mv(x_lo) if x_lo is not None else None

@@ -32,6 +32,8 @@ def test_headline_json_survives_dry_run():
         HYPRE_TPU_BENCH_27PT="0",        # aux sections all gated off —
         HYPRE_TPU_BENCH_SPGEMM="0",      # the headline must not need them
         HYPRE_TPU_BENCH_STRUCT="0",
+        HYPRE_TPU_BENCH_SHAPE="0",
+        HYPRE_TPU_BENCH_9PT="0",
         HYPRE_TPU_BENCH_BUDGET="600",
         JAX_PLATFORMS="cpu",
     )

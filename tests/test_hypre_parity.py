@@ -131,3 +131,18 @@ def test_struct_mg_pcg_in_hypre_iteration_class():
         it_pfmg, _ = struct_driver.run("-solver 11 -n 10 10 10 -tol 1e-6".split())
     assert it_smg <= 5  # hypre: 4
     assert it_pfmg <= 9  # hypre: 8
+
+
+def test_smg_anisotropic_golden_smgbase3d():
+    """TEST_struct/smgbase3d: ``struct -n 12 12 12 -c 2.0 3.0 40 -solver 0``
+    -> 4 iterations, rres 8.97e-07 (smgbase3d.saved:1-3). The plane-solve
+    interpolation (smg_setup_interp.c, struct/smg._plane_interp) is what
+    makes SMG match this on a strongly anisotropic operator — the
+    operator-collapsed weights needed more cycles."""
+    from hypre_tpu.drivers import struct as struct_driver
+
+    it, rres = struct_driver.run(
+        "-solver 0 -n 12 12 12 -c 2.0 3.0 40 -tol 1e-6".split()
+    )
+    assert it <= 5  # hypre golden: 4
+    assert rres < 1e-6

@@ -123,3 +123,92 @@ class TestBiCGSTAB:
         x, info = bicgstab(lambda v: ell_spmv(A, v), b, rtol=1e-10)
         assert bool(info.converged)
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), rtol=1e-5, atol=1e-6)
+
+
+class TestRecomputeResidual:
+    """HYPRE_PCGSetRecomputeResidual{,P} semantics (krylov/pcg.h:97-118,
+    pcg.c:525-568,665-690): the reported residual must be trustworthy —
+    round-3 verdict measured the f32 recurrence drifting 200x below the
+    true b - Ax on a long DS-PCG solve."""
+
+    def _drifty_problem(self, n=48):
+        # f32 2-D Laplacian driven to 1e-6: a few hundred unpreconditioned
+        # iterations — enough for visible recurrence drift in f32
+        A = laplacian_2d_5pt(n, n, dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal(n * n), jnp.float32)
+        return A, b
+
+    def test_reported_matches_true_residual(self):
+        A, b = self._drifty_problem()
+        op = lambda v: ell_spmv(A, v)
+        # rtol above the f32 attainable floor for this conditioning
+        x, info = pcg(op, b, rtol=2e-5, maxiter=3000)  # recompute on (dflt)
+        true_rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+        rep = float(info.relative_residual)
+        assert bool(info.converged)
+        # the verdict's acceptance bound: reported within 10x of true
+        assert rep <= 10 * max(true_rel, 1e-30)
+        assert true_rel <= 10 * max(rep, 1e-30)
+        # and the tolerance is genuinely met by the TRUE residual
+        assert true_rel < 2e-4
+
+    def test_final_residual_reporting_never_lies(self):
+        # below the f32 floor the RECURRENCE claims 1e-7-class residuals;
+        # final_residual (default ON) must report the true b - Ax instead
+        A, b = self._drifty_problem()
+        op = lambda v: ell_spmv(A, v)
+        x, info = pcg(op, b, rtol=1e-7, maxiter=3000)
+        true_rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+        rep = float(info.relative_residual)
+        assert rep <= 10 * max(true_rel, 1e-30)
+        assert true_rel <= 10 * max(rep, 1e-30)
+        # and the legacy recurrence report would have lied
+        _, info_legacy = pcg(op, b, rtol=1e-7, maxiter=3000,
+                             final_residual=False)
+        assert float(info_legacy.relative_residual) < true_rel / 5
+
+    def test_recompute_strict_mode(self):
+        # hypre's SetRecomputeResidual semantics: with it ON, convergence
+        # is only declared when the RECOMPUTED residual passes the test
+        A, b = self._drifty_problem()
+        op = lambda v: ell_spmv(A, v)
+        x, info = pcg(op, b, rtol=2e-5, maxiter=3000,
+                      recompute_residual=True)
+        if bool(info.converged):
+            true_rel = float(
+                jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b)
+            )
+            assert true_rel < 10 * 2e-5
+
+    def test_recompute_forces_extra_iterations_when_recurrence_lies(self):
+        A, b = self._drifty_problem()
+        op = lambda v: ell_spmv(A, v)
+        _, info_off = pcg(op, b, rtol=2e-5, maxiter=3000,
+                          recompute_residual=False)
+        _, info_on = pcg(op, b, rtol=2e-5, maxiter=3000,
+                         recompute_residual=True)
+        # trusting the recurrence can only stop earlier (or equal)
+        assert int(info_off.iterations) <= int(info_on.iterations)
+
+    def test_periodic_recompute(self):
+        A, b = self._drifty_problem(32)
+        op = lambda v: ell_spmv(A, v)
+        x, info = pcg(op, b, rtol=1e-5, maxiter=4000,
+                      recompute_residual_p=25)
+        assert bool(info.converged)
+        true_rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+        assert true_rel < 1e-4
+
+    def test_custom_residual_fn_twofloat(self):
+        from hypre_tpu.seq.dia import try_dia
+        from hypre_tpu.seq.twofloat import dia_residual_2f
+
+        A, b = self._drifty_problem(32)
+        D = try_dia(A)
+        op = lambda v: ell_spmv(A, v)
+        res2f = lambda xv: sum(dia_residual_2f(D, b, xv, None))
+        x, info = pcg(op, b, rtol=1e-5, maxiter=3000, residual_fn=res2f)
+        assert bool(info.converged)
+        true_rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+        assert true_rel < 1e-4

@@ -310,3 +310,68 @@ def test_par_ilut_gmres_golden_vs_shared_memory():
     assert abs(int(info_par.iterations) - int(info_seq.iterations)) <= 2, (
         int(info_par.iterations), int(info_seq.iterations),
     )
+
+
+def test_par_sails_power_pattern_sharded_vs_single_shard_parity():
+    """Distributed ParaSails LEVEL-1 pattern (pattern of thresh(A)^2 —
+    ParaSails.c / PrunedRows.c pattern-of-powers): the 8-shard build,
+    whose least-squares rows need A-rows at graph distance 2 (the second
+    halo layer), must produce the same preconditioner action as the same
+    algorithm on a 1-shard mesh."""
+    import jax.numpy as jnp
+
+    from hypre_tpu.parallel import make_mesh
+    from hypre_tpu.parallel.par_ell import collect_vector, distribute_vector
+    from hypre_tpu.precond.par_sails import ParSails
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+
+    A = laplacian_2d_5pt(16, 16)
+    n = A.n_rows
+    knobs = dict(nlevels=1, thresh=0.0, pattern_cap=32)
+    p1 = ParSails(**knobs).setup(partition_ell(A, make_mesh(1)))
+    p8 = ParSails(**knobs).setup(partition_ell(A, flat_row_mesh()))
+    r = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    z1 = collect_vector(
+        p1.precond()(distribute_vector(jnp.asarray(r), make_mesh(1))), n
+    )
+    z8 = collect_vector(
+        p8.precond()(distribute_vector(jnp.asarray(r), flat_row_mesh())), n
+    )
+    np.testing.assert_allclose(z8, z1, rtol=2e-4, atol=2e-4)
+    # the level-1 pattern must be wider than A's own pattern
+    nnz_a = int(np.sum(np.asarray(p8.M.diag_cols) >= 0)) + int(
+        np.sum(np.asarray(p8.M.offd_cols) >= 0)
+    )
+    Ap = partition_ell(A, flat_row_mesh())
+    nnz0 = int(np.sum(np.asarray(Ap.diag_cols) >= 0)) + int(
+        np.sum(np.asarray(Ap.offd_cols) >= 0)
+    )
+    assert nnz_a > nnz0
+
+
+def test_par_sails_power_improves_pcg():
+    """A level-1 ParaSails preconditioner must beat diagonal scaling in
+    PCG iterations (the reason the pattern power exists)."""
+    import jax.numpy as jnp
+
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.parallel.par_ell import (
+        collect_vector, distribute_vector, par_spmv,
+    )
+    from hypre_tpu.precond.par_sails import ParSails
+    from hypre_tpu.problems.laplacian import laplacian_2d_5pt
+
+    mesh = flat_row_mesh()
+    A = laplacian_2d_5pt(16, 16)
+    n = A.n_rows
+    Ap = partition_ell(A, mesh)
+    ps = ParSails(nlevels=1, pattern_cap=32).setup(Ap)
+    b = distribute_vector(jnp.ones(n, A.dtype), mesh)
+    M = ps.precond()
+    _, info_ps = pcg(lambda v: par_spmv(Ap, v), b, M=M, rtol=1e-8,
+                     maxiter=300)
+    dinv = 0.25  # constant-diagonal Laplacian
+    _, info_ds = pcg(lambda v: par_spmv(Ap, v), b,
+                     M=lambda r: dinv * r, rtol=1e-8, maxiter=300)
+    assert bool(info_ps.converged)
+    assert int(info_ps.iterations) < int(info_ds.iterations)
