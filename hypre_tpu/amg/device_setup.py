@@ -823,9 +823,10 @@ def _jit_split_agg(vals, cols, theta, s_cap, s2_cap, shifts):
 @partial(jax.jit, static_argnames=("p_max",))
 def _jit_multipass(vals, cols, scols, svals, cf, cmap, p_max, shifts):
     A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
-    return multipass_interp_device(
-        A, scols, svals, cf, cmap, p_max, shifts=shifts
+    pc, pv, req, _ = multipass_interp_device(
+        A, scols, svals, cf, cmap, p_max, shifts=shifts, max_passes=6
     )
+    return pc, pv, req
 
 
 @partial(jax.jit, static_argnames=("s_cap", "symmetric"))
@@ -988,21 +989,22 @@ def _jit_level_build(vals, cols, scols, svals, sback, cf, cmap, out_k,
 
 
 @partial(jax.jit, static_argnames=(
-    "p_max", "nc", "out_ap", "ap_cap", "ch_ap", "out_t",
+    "p_max", "mp", "nc", "out_ap", "ap_cap", "ch_ap", "out_t",
     "out_ac", "ch_ac", "drop_tol"))
-def _jit_level_build_agg(vals, cols, scols, svals, cf, cmap, p_max, shifts,
-                         nc, out_ap, ap_cap, ch_ap, out_t, out_ac, ch_ac,
-                         drop_tol):
+def _jit_level_build_agg(vals, cols, scols, svals, cf, cmap, p_max, mp,
+                         shifts, nc, out_ap, ap_cap, ch_ap, out_t, out_ac,
+                         ch_ac, drop_tol):
     """Multipass interpolation + Galerkin triple product, one dispatch."""
     A = EllMatrix(vals=vals, cols=cols, n_cols=vals.shape[0])
-    pc, pv, req_p = multipass_interp_device(
-        A, scols, svals, cf, cmap, p_max, shifts=shifts
+    pc, pv, req_p, unass = multipass_interp_device(
+        A, scols, svals, cf, cmap, p_max, shifts=shifts, max_passes=mp
     )
     apc, tc, tv, acc, acv, reqs = _galerkin_impl(
         vals, cols, pc, pv, nc, out_ap, ap_cap, ch_ap, out_t, out_ac,
         ch_ac, shifts, drop_tol,
     )
-    return pc, pv, tc, tv, acc, acv, jnp.concatenate([req_p[None], reqs])
+    return (pc, pv, tc, tv, acc, acv,
+            jnp.concatenate([req_p[None], reqs, unass[None]]))
 
 
 @partial(jax.jit, static_argnames=("tol",))
@@ -1207,13 +1209,15 @@ def setup_hierarchy_device(
         out_t = plan.get((lev_id, "t"), d_t)
         out_ac = plan.get((lev_id, "ac"), d_ac)
 
+        mp = plan.get((lev_id, "mp"), 3)
+
         def run_level(out_ap, out_t, out_ac):
             ch_ap = nchunks(n, kA * (kP or out_k))
             ch_ac = nchunks(nc_b, out_t * out_ap)
             if aggressive:
                 return _jit_level_build_agg(
                     A_cur.vals, A_cur.cols, scols, svals, cf, cmap,
-                    max(p_max_elmts, 1), shifts, nc_b, out_ap, ap_cap,
+                    max(p_max_elmts, 1), mp, shifts, nc_b, out_ap, ap_cap,
                     ch_ap, out_t, out_ac, ch_ac, float(coarse_drop_tol),
                 )
             return _jit_level_build(
@@ -1241,11 +1245,19 @@ def setup_hierarchy_device(
             pc, pv, tc, tv, acc, acv, reqs_d = run_level(
                 out_ap, out_t, out_ac
             )
+            _ra = np.asarray(reqs_d)
             req_p, req_ap, req_t, req_ac, rowmax = (
-                int(v) for v in np.asarray(reqs_d)
+                int(v) for v in _ra[:5]
             )
+            unass = int(_ra[5]) if _ra.shape[0] > 5 else 0
             _log(f"L{lev_id} attempt {_attempt} done: req_ap={req_ap} "
-                 f"req_t={req_t} req_ac={req_ac} rowmax={rowmax}")
+                 f"req_t={req_t} req_ac={req_ac} rowmax={rowmax} "
+                 f"unassigned={unass}")
+            if unass > 0 and mp < 6:
+                # some F rows need more multipass rounds (rare: distance-2
+                # PMIS measures max pass 3 on the stencil families)
+                mp = 6
+                continue
             if req_ap > out_ap or req_t > out_t or req_ac > out_ac:
                 out_ap = max(out_ap, _bucket(req_ap))
                 out_t = max(out_t, _bucket(req_t))
@@ -1261,6 +1273,7 @@ def setup_hierarchy_device(
                     continue
             break
         plan[(lev_id, "p")] = pc.shape[1]
+        plan[(lev_id, "mp")] = mp
         plan[(lev_id, "ap")] = out_ap
         plan[(lev_id, "t")] = out_t
         plan[(lev_id, "ac")] = out_ac
@@ -1410,7 +1423,7 @@ def multipass_interp_device(
     cmap: jax.Array,
     p_max_elmts: int,
     shifts=None,
-    max_passes: int = 6,
+    max_passes: int = 3,
 ):
     """Multipass interpolation (hypre_BoomerAMGBuildMultipass,
     par_multi_interp.c; same math as amg/interp.multipass_interp which is
@@ -1421,7 +1434,10 @@ def multipass_interp_device(
     Device formulation: pass assignment by a few gather rounds, then one
     sweep per pass gathering the packed (cols|vals) P slab of strong
     neighbors and slab-merging. Columns come out in coarse numbering.
-    Returns (pc, pv, req).
+    Returns (pc, pv, req, n_unassigned) — n_unassigned counts F rows with
+    strong neighbors that did not resolve within ``max_passes`` (distance-2
+    PMIS measures max pass 3 on the stencil families; the caller's retry
+    protocol regrows max_passes when this is ever nonzero).
     """
     n, k = A.cols.shape
     ks = scols.shape[1]
@@ -1445,7 +1461,12 @@ def multipass_interp_device(
         nb = _gather_rows(passno, cols_c, shifts)
         reachable = jnp.any(s_valid & (nb >= 0) & (nb < r), axis=1)
         passno = jnp.where((passno < 0) & reachable, r, passno)
-    # unreachable F points keep -1 and get empty rows (hypre drops them too)
+    # unreachable F points keep -1 and get empty rows (hypre drops them
+    # too); if they HAVE strong neighbors they may just need more passes —
+    # reported to the caller as n_unassigned
+    n_unassigned = jnp.sum(
+        ((passno < 0) & jnp.any(s_valid, axis=1)).astype(jnp.int32)
+    )
 
     width = p_max_elmts if p_max_elmts > 0 else min(4 * ks, 32)
     pc = jnp.where(is_c, cmap, PAD_COL)[:, None]
@@ -1485,4 +1506,4 @@ def multipass_interp_device(
         mine = passno == p
         pc = jnp.where(mine[:, None], mc[:, :width], pc)
         pv = jnp.where(mine[:, None], mv[:, :width], pv)
-    return pc, pv, req_all
+    return pc, pv, req_all, n_unassigned

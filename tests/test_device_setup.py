@@ -232,7 +232,7 @@ def test_multipass_device_matches_host_oracle():
     assert 0 < n_coarse < int(jnp.sum(cf1 == 1))  # aggressive: fewer C
 
     P_ref = multipass_interp(A, S, cf, cmap, n_coarse, p_max_elmts=4)
-    pc, pv, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4)
+    pc, pv, _, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4)
     np.testing.assert_allclose(
         _dense(pc, pv, n_coarse), _dense(P_ref.cols, P_ref.vals, n_coarse),
         rtol=1e-5, atol=1e-8,
@@ -291,7 +291,7 @@ def test_transfer_dia_matches_ell_transfers():
     svals = jnp.where(S, A.vals, 0.0)
     cf = second_pass_pmis(scols, cf1, A.n_rows, s2_cap=32, shifts=A.shifts)
     cmap, n_c = coarse_map(cf)
-    pc, pv, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4,
+    pc, pv, _, _ = multipass_interp_device(A, scols, svals, cf, cmap, 4,
                                         shifts=A.shifts)
     # the banded/DIA kernels are f32-only (TPU Pallas has no f64)
     P = EllMatrix(vals=pv.astype(jnp.float32), cols=pc, n_cols=int(n_c))
