@@ -19,6 +19,32 @@ Everything in the solve path is jit-compatible with static shapes; irregular
 setup analysis runs on host and bakes static index maps into the jitted fns.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache, ON BY DEFAULT (round-4 verdict item 4):
+# the setup/solve program suite AOT-compiles in seconds-to-minutes on a
+# remote-attached TPU; with the cache every later process loads the
+# compiled binaries instead. Opt out with HYPRE_TPU_NO_CACHE=1; repoint
+# with HYPRE_TPU_COMP_CACHE=<dir>. (jax.config.update is cheap and safe to
+# call before or after backend initialization.)
+if (
+    _os.environ.get("HYPRE_TPU_NO_CACHE", "0") != "1"
+    # CPU-only runs (the test tier) compile in milliseconds — caching them
+    # would only churn the cache dir
+    and _os.environ.get("JAX_PLATFORMS", "") != "cpu"
+):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "HYPRE_TPU_COMP_CACHE",
+            _os.path.expanduser("~/.cache/jax_comp_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 from hypre_tpu.core.config import (
     default_real_dtype,
     default_int_dtype,

@@ -125,6 +125,19 @@ class BoomerAMG:
         if self.setup_backend == "device":
             # the device backend runs setup ON the accelerator by design
             host_setup = False
+            # never-silent AOT stalls (round-4 verdict missing #4): warn
+            # when this setup signature has no priming evidence, so a
+            # multi-minute first-compile is announced, and record it so
+            # later processes skip the warning and can specialize
+            import warnings as _warnings
+
+            from hypre_tpu import warmup as _wu
+
+            novel, msg = _wu.novel_shape_report(A)
+            if novel:
+                _warnings.warn(f"hypre_tpu: {msg}", stacklevel=2)
+            self._spec_solve = (not novel) and _wu.shape_seen(A)
+            _wu._record_setup_signature(A)
         if host_setup == "auto":
             try:
                 host_setup = jax.default_backend() != "cpu" and bool(jax.devices("cpu"))
@@ -152,7 +165,8 @@ class BoomerAMG:
             self._do_setup(A)
             if optimize:
                 self.hierarchy = optimize_hierarchy(
-                    self.hierarchy, gather_precision=self.gather_precision
+                    self.hierarchy, gather_precision=self.gather_precision,
+                    specialize=getattr(self, "_spec_solve", False),
                 )
 
         if self.relax == "jacobi" and self.relax_weight < 0:

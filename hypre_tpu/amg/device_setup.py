@@ -1138,6 +1138,7 @@ def setup_hierarchy_device(
     shifts_host = A.shifts
     n_fine = A.n_rows
     n_true = A.n_rows
+    true_sizes = [n_true]  # per-level true row counts incl. coarsest
     if row_bucket:
         nb = _row_bucket(n_true)
         if nb != n_true:
@@ -1313,6 +1314,7 @@ def setup_hierarchy_device(
         )
         A_cur = EllMatrix(vals=acv, cols=acc, n_cols=nc_b)
         n_true = n_coarse
+        true_sizes.append(n_true)
         shifts = None  # coarse operators are unstructured
 
     # coarsest level: dense inverse on device (par_gauss_elim.c analogue;
@@ -1324,7 +1326,8 @@ def setup_hierarchy_device(
         inv, _ = _jit_coarse_inv(A_cur.vals, A_cur.cols,
                                  jnp.int32(n_true), pinv=True)
     return AMGHierarchy(levels=levels, coarse_inv=inv, galerkin=True,
-                        n_fine=n_fine)
+                        n_fine=n_fine,
+                        n_level_true=tuple(true_sizes) if row_bucket else ())
 
 
 # ---------------------------------------------------------------------------

@@ -70,10 +70,55 @@ class AMGHierarchy:
     # (levels[0].A then has n_fine <= n_rows padded empty rows at the tail);
     # 0 = unpadded. amg_cycle pads/unpads vectors automatically.
     n_fine: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # TRUE row count of every level incl. the coarsest (len == num_levels)
+    # when row-bucketed; () = unpadded. The padded tails are always empty
+    # rows appended AFTER the true rows, so true-restriction is a slice.
+    n_level_true: tuple = dataclasses.field(default=(),
+                                            metadata=dict(static=True))
 
     @property
     def num_levels(self) -> int:
         return len(self.levels) + 1
+
+
+def unpad_hierarchy(hier: "AMGHierarchy") -> "AMGHierarchy":
+    """True-size view of a row-bucketed hierarchy.
+
+    The device setup pads every level's row count up to a bucket with empty
+    tail rows (padding rows are never C points, so coarse indices stay
+    compact in [0, n_true) — verified by the bucketed==unbucketed parity
+    tests). Restricting to the true sizes is therefore a pure slice; use
+    this for IO, parity comparisons, and interop with unpadded solvers.
+    Returns ``hier`` unchanged when it was never bucketed.
+    """
+    if not hier.n_fine or not hier.n_level_true:
+        return hier
+    ts = hier.n_level_true
+    new_levels = []
+    for i, lv in enumerate(hier.levels):
+        nt, nc = ts[i], ts[i + 1]
+        if not isinstance(lv.P, EllMatrix) or (
+            lv.Pt is not None and not isinstance(lv.Pt, EllMatrix)
+        ):
+            raise ValueError("unpad_hierarchy needs ELL transfers "
+                             "(transfer_dia hierarchies stay padded)")
+        new_levels.append(dataclasses.replace(
+            lv,
+            A=EllMatrix(vals=lv.A.vals[:nt], cols=lv.A.cols[:nt],
+                        n_cols=nt),
+            P=EllMatrix(vals=lv.P.vals[:nt], cols=lv.P.cols[:nt],
+                        n_cols=nc),
+            Pt=(None if lv.Pt is None else
+                EllMatrix(vals=lv.Pt.vals[:nc], cols=lv.Pt.cols[:nc],
+                          n_cols=nt)),
+            dinv=lv.dinv[:nt], l1inv=lv.l1inv[:nt],
+            cf=None if lv.cf is None else lv.cf[:nt],
+        ))
+    nco = ts[-1]
+    return dataclasses.replace(
+        hier, levels=new_levels, coarse_inv=hier.coarse_inv[:nco, :nco],
+        n_fine=0, n_level_true=(),
+    )
 
 
 def _level_vectors(A: EllMatrix, need_cheby: bool) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -553,6 +598,7 @@ def optimize_hierarchy(
     prefer_pallas: bool | None = None,
     gather_precision: int = 0,
     cheby_eig_est: int = 0,
+    specialize: bool = False,
 ) -> AMGHierarchy:
     """Swap every level operator (A, P, Pt) for its fastest-on-this-backend
     representation (DIA shifts or the windowed Pallas gather, seq/fastmv.py).
@@ -565,11 +611,28 @@ def optimize_hierarchy(
     itself uses the free Gershgorin bound because iterative estimation on
     the raw ELL slabs was the dominant setup cost; on the DIA/BandedEll
     operators ~10 matvecs per level are cheap, restoring hypre's
-    -cheby_eig_est semantics for the device path."""
+    -cheby_eig_est semantics for the device path.
+
+    specialize: bake diagonal-offset VALUES into the solve programs (the
+    round-3 static kernels: tight x windows, static slices — measured
+    834 GB/s vs 700 for the shape-generic dynamic kernels). One compile
+    per offset family+shape, served from the persistent cache after first
+    sight; the policy layer (warmup.shape_seen) decides when the trade is
+    free."""
     from hypre_tpu.seq.dia import DiaMatrix
     from hypre_tpu.seq.fastmv import BandedEll
 
     import numpy as _np
+
+    def _spec_dia(M):
+        # late specialization of an already-built DiaMatrix: pull the tiny
+        # offsets array to host and pin it as the static twin
+        if not specialize or not isinstance(M, DiaMatrix):
+            return M
+        if M.offsets_static is not None:
+            return M
+        offs = tuple(int(o) for o in _np.asarray(M.offsets))
+        return dataclasses.replace(M, offsets_static=offs)
 
     def refresh_lmax(lev, A_fast):
         if cheby_eig_est <= 0 or float(_np.asarray(lev.lmax)) == 0.0:
@@ -584,21 +647,29 @@ def optimize_hierarchy(
         # the gathered values) is benign inside the V-cycle preconditioner;
         # the outer Krylov drives the true residual with exact operators.
         # Raise via gather_precision for parity/debug runs.
-        A = optimize_operator(
-            lev.A, prefer_pallas, exact=gather_precision, dia_detect="shifts"
-        )
+        A = _spec_dia(optimize_operator(
+            lev.A, prefer_pallas, exact=gather_precision,
+            dia_detect="shifts", specialize=specialize,
+        ))
         from hypre_tpu.seq.transfer_dia import TransferDia
 
         if isinstance(lev.P, TransferDia):
             # already converted by the device setup (fine-space diagonal
-            # transfers on stencil levels) — pass through
+            # transfers on stencil levels) — pass through, specializing
+            # the embedded DIA transfer kernels when asked
+            P = lev.P
+            if specialize:
+                P = dataclasses.replace(
+                    P, P_dia=_spec_dia(P.P_dia), Pt_dia=_spec_dia(P.Pt_dia)
+                )
             new_levels.append(
-                refresh_lmax(dataclasses.replace(lev, A=A, Pt=None), A)
+                refresh_lmax(dataclasses.replace(lev, A=A, P=P, Pt=None), A)
             )
             continue
-        P = optimize_operator(
-            lev.P, prefer_pallas, exact=gather_precision, dia_detect="shifts"
-        )
+        P = _spec_dia(optimize_operator(
+            lev.P, prefer_pallas, exact=gather_precision,
+            dia_detect="shifts", specialize=specialize,
+        ))
         if isinstance(P, BandedEll) and hier.galerkin:
             # restriction runs through P's scatter transpose; Pt and the
             # duplicate ELL payloads would only burn transfer bandwidth
@@ -606,10 +677,10 @@ def optimize_hierarchy(
             Pt = None
         else:
             # non-Galerkin (AIR): Pt holds R and must survive
-            Pt = optimize_operator(
+            Pt = _spec_dia(optimize_operator(
                 lev.Pt, prefer_pallas, exact=gather_precision,
-                dia_detect="shifts",
-            )
+                dia_detect="shifts", specialize=specialize,
+            ))
         if isinstance(A, BandedEll):
             A = A.drop_ell()
         if isinstance(Pt, BandedEll):
@@ -619,7 +690,7 @@ def optimize_hierarchy(
         )
     return AMGHierarchy(
         levels=new_levels, coarse_inv=hier.coarse_inv, galerkin=hier.galerkin,
-        n_fine=hier.n_fine,
+        n_fine=hier.n_fine, n_level_true=hier.n_level_true,
     )
 
 

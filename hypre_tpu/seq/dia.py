@@ -78,12 +78,25 @@ class DiaMatrix:
     offsets is a traced int32 (D,) array; ``margin`` is the static
     |offset| bound (an ALIGN multiple). Construct via ``make_dia`` (or
     pass host offsets — __post_init__ converts and derives margin).
+
+    offsets_static: the two-path dispatch (round-5). When set (a host
+    tuple mirroring ``offsets``), SpMV runs the SPECIALIZED kernels —
+    offset values baked into the program, tight windows, static slices —
+    at the cost of one compile per offset family (served by the
+    persistent cache after first sight). When None, the shape-generic
+    dynamic-offset kernels run: slightly slower (wider x windows + a
+    rotate decomposition per diagonal) but shared by every same-structure
+    operator. ``try_dia(specialize=True)`` sets it; the policy layer
+    (BoomerAMG / warmup registry) decides per shape.
     """
 
     dvals: jax.Array  # (D, n_rows)
     offsets: jax.Array  # (D,) int32 — DYNAMIC
     n_cols: int = dataclasses.field(metadata=dict(static=True))
     margin: int = dataclasses.field(default=0, metadata=dict(static=True))
+    offsets_static: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def __post_init__(self):
         offs = self.offsets
@@ -144,7 +157,15 @@ class DiaMatrix:
             and jax.default_backend() == "tpu"
             and self.n_rows >= 4096
         ):
+            if self.offsets_static is not None:
+                return dia_spmv_pallas_static(self, x)
             return dia_spmv_pallas(self, x)
+        if self.offsets_static is not None:
+            y = None
+            for d, o in enumerate(self.offsets_static):
+                term = self.dvals[d] * _shift1d(x, o)
+                y = term if y is None else y + term
+            return y
         y = None
         for d in range(self.D):
             term = self.dvals[d] * _shift1d_dyn(x, self.offsets[d],
@@ -154,6 +175,12 @@ class DiaMatrix:
 
     def mv_t(self, x: jax.Array) -> jax.Array:
         """A^T x: entry (i, i+o) of A contributes at output row i+o."""
+        if self.offsets_static is not None:
+            y = None
+            for d, o in enumerate(self.offsets_static):
+                term = _shift1d(self.dvals[d] * x, -o)
+                y = term if y is None else y + term
+            return y
         y = None
         for d in range(self.D):
             term = _shift1d_dyn(self.dvals[d] * x, -self.offsets[d],
@@ -162,6 +189,12 @@ class DiaMatrix:
         return y
 
     def lower_apply(self, x: jax.Array) -> jax.Array:
+        if self.offsets_static is not None:
+            y = jnp.zeros_like(x)
+            for d, o in enumerate(self.offsets_static):
+                if o < 0:
+                    y = y + self.dvals[d] * _shift1d(x, o)
+            return y
         y = jnp.zeros_like(x)
         for d in range(self.D):
             mask = (self.offsets[d] < 0).astype(self.dtype)
@@ -171,6 +204,12 @@ class DiaMatrix:
         return y
 
     def upper_apply(self, x: jax.Array) -> jax.Array:
+        if self.offsets_static is not None:
+            y = jnp.zeros_like(x)
+            for d, o in enumerate(self.offsets_static):
+                if o > 0:
+                    y = y + self.dvals[d] * _shift1d(x, o)
+            return y
         y = jnp.zeros_like(x)
         for d in range(self.D):
             mask = (self.offsets[d] > 0).astype(self.dtype)
@@ -206,7 +245,8 @@ def _dia_planes_dyn(vals, cols, offs, D):
     )
 
 
-def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
+def try_dia(A: EllMatrix, max_offsets: int = 48,
+            specialize: bool = False) -> DiaMatrix | None:
     """Exact DIA decomposition, or None if A has too many distinct offsets.
 
     Square row/col index spaces only. When the matrix carries a ``shifts``
@@ -224,6 +264,7 @@ def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
             ),
             offsets=tuple(offs),
             n_cols=A.n_cols,
+            offsets_static=tuple(offs) if specialize else None,
         )
     cols = np.asarray(A.cols)
     vals = np.asarray(A.vals)
@@ -241,6 +282,8 @@ def try_dia(A: EllMatrix, max_offsets: int = 48) -> DiaMatrix | None:
         dvals=jnp.asarray(dvals),
         offsets=tuple(int(o) for o in offs),
         n_cols=A.n_cols,
+        offsets_static=(tuple(int(o) for o in offs) if specialize
+                        else None),
     )
 
 
@@ -339,6 +382,102 @@ def _dia_pallas_call(D, W, B, n_pad, offs_rel, xpad, dvals_pad):
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
     )
     return f(offs_rel, xpad, dvals_pad)
+
+
+def _dia_kernel_static(D, W, B, nb, offs_rel, x_hbm, v_ref, y_ref, xw0,
+                       xw1, sx):
+    """Specialized variant: offset VALUES are compile-time constants, so
+    each diagonal is one static in-window slice (no rotates, no selects) —
+    the round-3 roofline kernel (834 GB/s measured on the 128^3 7-pt)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+
+    def x_dma(buf, slot, blk):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(blk * B, ALIGN), W)], buf,
+            sx.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        x_dma(xw0, 0, 0).start()
+
+    @pl.when((i + 1 < nb) & ((i + 1) % 2 == 0))
+    def _():
+        x_dma(xw0, 0, i + 1).start()
+
+    @pl.when((i + 1 < nb) & ((i + 1) % 2 == 1))
+    def _():
+        x_dma(xw1, 1, i + 1).start()
+
+    def compute(buf):
+        acc = v_ref[0, :] * buf[pl.ds(offs_rel[0], B)]
+        for d in range(1, D):
+            acc = acc + v_ref[d, :] * buf[pl.ds(offs_rel[d], B)]
+        y_ref[:] = acc
+
+    @pl.when(i % 2 == 0)
+    def _():
+        x_dma(xw0, 0, i).wait()
+        compute(xw0)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        x_dma(xw1, 1, i).wait()
+        compute(xw1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _dia_pallas_call_static(D, W, B, n_pad, offs_rel, xpad, dvals_pad):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = n_pad // B
+    f = pl.pallas_call(
+        functools.partial(_dia_kernel_static, D, W, B, nb, offs_rel),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x, windowed manually
+            pl.BlockSpec((D, B), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((B,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((W,), jnp.float32),
+            pltpu.VMEM((W,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return f(xpad, dvals_pad)
+
+
+def dia_spmv_pallas_static(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Specialized SpMV: tight (offset-value-derived) window, static
+    slices. One program per (offset family, n) — the fast path once a
+    shape has been seen (persistent cache makes the compile one-time)."""
+    n = A.n_rows
+    offs = A.offsets_static
+    D = len(offs)
+    b_cap = max(4096, min(32768,
+                          (10_000_000 // (max(D, 1) * 8)) // 1024 * 1024))
+    B = b_cap if n >= b_cap else max(1024, 1 << (n - 1).bit_length())
+    n_pad = -(-n // B) * B
+    min_o, max_o = min(offs + (0,)), max(offs + (0,))
+    lead = -(-(-min_o) // ALIGN) * ALIGN  # aligned left pad >= -min_o
+    W = -(-(B + max_o + lead) // ALIGN) * ALIGN
+    offs_rel = tuple(int(o + lead) for o in offs)
+    xpad = jnp.zeros(lead + n_pad + (W - B), x.dtype).at[
+        lead : lead + n
+    ].set(x)
+    dvals_pad = (
+        A.dvals
+        if n_pad == n
+        else jnp.pad(A.dvals, ((0, 0), (0, n_pad - n)))
+    )
+    y = _dia_pallas_call_static(D, W, B, n_pad, offs_rel, xpad, dvals_pad)
+    return y[:n]
 
 
 def dia_spmv_pallas(A: DiaMatrix, x: jax.Array) -> jax.Array:

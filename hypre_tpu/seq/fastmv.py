@@ -435,7 +435,7 @@ MIN_BANDED_ELEMENTS = 262144
 
 def optimize_operator(
     A: EllMatrix, prefer_pallas: bool | None = None, exact: int = 1,
-    dia_detect: str = "auto",
+    dia_detect: str = "auto", specialize: bool = False,
 ):
     """Pick the fastest SpMV representation for this matrix on this backend
     (the role of hypre's SetSpGemmUseVendor/exec-policy knobs, collapsed
@@ -452,7 +452,7 @@ def optimize_operator(
     if dia_detect == "shifts" and A.shifts is None:
         dia = None
     else:
-        dia = try_dia(A)
+        dia = try_dia(A, specialize=specialize)
     if dia is not None:
         return dia
     if A.n_rows * A.k < MIN_BANDED_ELEMENTS:

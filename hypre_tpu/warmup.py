@@ -51,6 +51,53 @@ def enable_persistent_cache(path: str | None = None):
     return path
 
 
+_SHAPE_REG: dict | None = None
+
+
+def _shape_reg_path() -> str:
+    return os.environ.get(
+        "HYPRE_TPU_SHAPE_REGISTRY",
+        os.path.expanduser("~/.cache/hypre_tpu_shapes.json"),
+    )
+
+
+def _shape_key(A) -> str:
+    sh = "none" if A.shifts is None else ",".join(
+        str(int(s)) for s in A.shifts
+    )
+    return f"{A.n_rows}|{A.k}|{sh}"
+
+
+def shape_seen(A, record: bool = True) -> bool:
+    """Two-path dispatch policy (round-5): True when this exact
+    (n_rows, k, shifts) signature was recorded by an earlier process
+    sharing the cache directory — the SPECIALIZED (static-offset) solve
+    programs for it are then persistent-cache hits and strictly faster
+    than the shape-generic dynamic-offset programs. False on first sight:
+    run the generic programs (no AOT stall), and (record=True) write the
+    signature so the next process specializes."""
+    global _SHAPE_REG
+    import json
+
+    if _SHAPE_REG is None:
+        try:
+            with open(_shape_reg_path()) as f:
+                _SHAPE_REG = json.load(f)
+        except (OSError, ValueError):
+            _SHAPE_REG = {}
+    key = _shape_key(A)
+    seen = key in _SHAPE_REG
+    if record and not seen:
+        _SHAPE_REG[key] = 1
+        try:
+            os.makedirs(os.path.dirname(_shape_reg_path()), exist_ok=True)
+            with open(_shape_reg_path(), "w") as f:
+                json.dump(_SHAPE_REG, f)
+        except OSError:
+            pass
+    return seen
+
+
 def setup_signature(A) -> tuple:
     """The (row-bucket, k, stencil-structure) key that determines which
     compiled setup programs a matrix resolves to."""
@@ -66,6 +113,67 @@ def setup_signature(A) -> tuple:
 
 def is_primed(A) -> bool:
     return setup_signature(A) in _PRIMED
+
+
+def novel_shape_report(A) -> tuple[bool, str]:
+    """(novel, message) for the matrix's SETUP signature.
+
+    novel=True means neither this process (``warmup``/``is_primed``) nor
+    any earlier process sharing the shape registry has set up A's
+    (bucket, k, stencil-structure) signature — the device setup will pay
+    AOT compilation for any program not already in the persistent cache
+    (seconds to minutes on a tunnel-attached chip). ``BoomerAMG.setup``
+    logs the message as a warning so the stall is never silent; fix it
+    ahead of time with ``warmup.warmup_family(...)`` at install time."""
+    sig = setup_signature(A)
+    if sig in _PRIMED:
+        return False, "setup signature primed in this process"
+    global _SHAPE_REG
+    import json
+
+    if _SHAPE_REG is None:
+        try:
+            with open(_shape_reg_path()) as f:
+                _SHAPE_REG = json.load(f)
+        except (OSError, ValueError):
+            _SHAPE_REG = {}
+    skey = f"sig|{sig[0]}|{sig[1]}"
+    if skey in _SHAPE_REG:
+        return False, (
+            "setup signature seen by an earlier process — programs served "
+            "from the persistent compilation cache"
+        )
+    return True, (
+        f"novel setup signature (row bucket {sig[0]}, k={sig[1]}): first "
+        "setup will AOT-compile its program suite (up to minutes on a "
+        "remote-attached TPU). Prime it once with "
+        "hypre_tpu.warmup.warmup_family(...) or warmup(A) at install time."
+    )
+
+
+def _record_setup_signature(A) -> None:
+    """Persist A's setup signature so later processes skip the novel-shape
+    warning (and can choose specialized solve programs — shape_seen)."""
+    global _SHAPE_REG
+    import json
+
+    sig = setup_signature(A)
+    _PRIMED.add(sig)
+    if _SHAPE_REG is None:
+        try:
+            with open(_shape_reg_path()) as f:
+                _SHAPE_REG = json.load(f)
+        except (OSError, ValueError):
+            _SHAPE_REG = {}
+    skey = f"sig|{sig[0]}|{sig[1]}"
+    if skey not in _SHAPE_REG:
+        _SHAPE_REG[skey] = 1
+        try:
+            os.makedirs(os.path.dirname(_shape_reg_path()), exist_ok=True)
+            with open(_shape_reg_path(), "w") as f:
+                json.dump(_SHAPE_REG, f)
+        except OSError:
+            pass
 
 
 def warmup(A, setup_kwargs: dict | None = None, solve: bool = True,
@@ -113,7 +221,7 @@ def warmup(A, setup_kwargs: dict | None = None, solve: bool = True,
         b = jnp.ones(A.n_rows, A.dtype)
         x, _ = _solve(hier, Af, b)
         jax.block_until_ready(x)
-    _PRIMED.add(setup_signature(A))
+    _record_setup_signature(A)
     dt = time.perf_counter() - t0
     _log(f"primed bucket {setup_signature(A)[0]} k={A.k} in {dt:.1f}s")
     return dt

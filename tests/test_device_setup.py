@@ -411,3 +411,57 @@ def test_optimize_hierarchy_cheby_eig_est():
     assert g_bound >= true - 1e-3          # Gershgorin is an upper bound
     assert abs(cg_est - true) < 0.05 * true  # CG estimate is tight
     assert cg_est <= g_bound + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Row-bucket invariance (round-4 regression pin): padding every level to its
+# row bucket must be an ALGORITHMIC no-op — same CF splits, same true level
+# sizes, identical A and P entries on the true blocks. hypre's PMIS is
+# partition-invariant (par_coarsen.c:2813); empty padded rows have no strong
+# connections, so they must never perturb measures, tie-breaks, or C-point
+# selection of real rows.
+# ---------------------------------------------------------------------------
+
+
+def _hier_pair(A, **kw):
+    from hypre_tpu.amg.hierarchy import unpad_hierarchy
+
+    hb = unpad_hierarchy(setup_hierarchy_device(A, row_bucket=True, **kw))
+    hu = setup_hierarchy_device(A, row_bucket=False, **kw)
+    return hb, hu
+
+
+def _assert_hier_equal(hb, hu):
+    assert len(hb.levels) == len(hu.levels)
+    for lb, lu in zip(hb.levels, hu.levels):
+        assert lb.A.shape == lu.A.shape
+        assert lb.P.shape == lu.P.shape
+        np.testing.assert_allclose(
+            _dense(lb.A.cols, lb.A.vals, lb.A.n_cols),
+            _dense(lu.A.cols, lu.A.vals, lu.A.n_cols), rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(
+            _dense(lb.P.cols, lb.P.vals, lb.P.n_cols),
+            _dense(lu.P.cols, lu.P.vals, lu.P.n_cols), rtol=1e-6, atol=1e-9)
+    assert hb.coarse_inv.shape == hu.coarse_inv.shape
+    np.testing.assert_allclose(np.asarray(hb.coarse_inv),
+                               np.asarray(hu.coarse_inv),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_bucketed_matches_unbucketed_gather_exact_bucket():
+    # 8^3 = 512 rows is an exact bucket (zero fine padding) but coarse
+    # levels pad 187->256 etc.; gather (shifts=None) path
+    A = dataclasses.replace(laplacian_3d_7pt(8, 8, 8), shifts=None)
+    _assert_hier_equal(*_hier_pair(A, max_coarse_size=40))
+
+
+def test_bucketed_matches_unbucketed_gather_nonpow2():
+    # 7^3 = 343 rows -> bucket 384: REAL padding at the fine level
+    A = dataclasses.replace(laplacian_3d_7pt(7, 7, 7), shifts=None)
+    _assert_hier_equal(*_hier_pair(A, max_coarse_size=40))
+
+
+def test_bucketed_matches_unbucketed_stencil_nonpow2():
+    # stencil (shifts) path with fine-level padding: 10x9 = 90 rows
+    A = laplacian_2d_5pt(10, 9)
+    _assert_hier_equal(*_hier_pair(A, max_coarse_size=20))

@@ -9,7 +9,7 @@ import pytest
 
 from hypre_tpu.amg.coarsen import pmis
 from hypre_tpu.amg.device_setup import setup_hierarchy_device
-from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother
+from hypre_tpu.amg.hierarchy import amg_cycle, make_smoother, unpad_hierarchy
 from hypre_tpu.amg.strength import strength_mask
 from hypre_tpu.krylov import pcg
 from hypre_tpu.parallel import make_mesh, par_spmv, partition_ell
@@ -67,7 +67,9 @@ def test_par_hierarchy_matches_single_device():
     A_nos = dataclasses.replace(A, shifts=None)  # same gather path
     mesh = make_mesh(8)
     Apar = partition_ell(A, mesh)
-    hier_ref = setup_hierarchy_device(A_nos, max_coarse_size=40)
+    hier_ref = unpad_hierarchy(
+        setup_hierarchy_device(A_nos, max_coarse_size=40)
+    )
     hier_par = setup_hierarchy_par(Apar, max_coarse_size=40)
     assert len(hier_par.levels) == len(hier_ref.levels)
     for lp, lr in zip(hier_par.levels, hier_ref.levels):
@@ -108,9 +110,9 @@ def test_par_hierarchy_distributed_solve_iteration_parity():
     # single-device reference iterations
     import dataclasses
 
-    hier_ref = setup_hierarchy_device(
+    hier_ref = unpad_hierarchy(setup_hierarchy_device(
         dataclasses.replace(A, shifts=None), max_coarse_size=100
-    )
+    ))
     x2, info2 = pcg(
         lambda v: ell_spmv(hier_ref.levels[0].A, v),
         jnp.asarray(b_host, A.dtype),
@@ -143,9 +145,9 @@ def test_par_hierarchy_large_grid_parity():
     assert bool(info.converged)
     import dataclasses
 
-    hier_ref = setup_hierarchy_device(
+    hier_ref = unpad_hierarchy(setup_hierarchy_device(
         dataclasses.replace(A, shifts=None), max_coarse_size=200
-    )
+    ))
     x2, info2 = pcg(
         lambda v: ell_spmv(hier_ref.levels[0].A, v),
         jnp.asarray(b_host, A.dtype),
@@ -223,9 +225,9 @@ def test_par_hierarchy_distributed_gmres_iteration_parity():
     assert bool(info.converged)
     assert rel < 1e-6
 
-    hier_ref = setup_hierarchy_device(
+    hier_ref = unpad_hierarchy(setup_hierarchy_device(
         dataclasses.replace(A, shifts=None), max_coarse_size=64
-    )
+    ))
     x2, info2 = gmres(
         lambda v: ell_spmv(hier_ref.levels[0].A, v),
         jnp.asarray(b_host, A.dtype),
@@ -261,9 +263,9 @@ def test_par_hierarchy_64cube_parity():
     xg = collect_vector(x, A.n_rows)
     r = b_host - np.asarray(ell_spmv(A, jnp.asarray(xg, A.dtype)))
     assert float(np.linalg.norm(r) / np.linalg.norm(b_host)) < 1e-6
-    href = setup_hierarchy_device(
+    href = unpad_hierarchy(setup_hierarchy_device(
         dataclasses.replace(A, shifts=None), max_coarse_size=200
-    )
+    ))
     _, info2 = pcg(
         lambda v: ell_spmv(href.levels[0].A, v),
         jnp.asarray(b_host, A.dtype),
