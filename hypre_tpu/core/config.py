@@ -61,6 +61,12 @@ class ConvergenceInfo:
     # (hypre's SetLogging norms/rel_norms arrays, pcg.c:630-634); length
     # maxiter+1 with slot 0 = the initial residual, untouched slots = -1
     res_history: "jax.Array | None" = None
+    # True when the solver stopped EARLY because the true (recomputed)
+    # residual stagnated above the tolerance — the f32 attainable-accuracy
+    # floor (hypre's HYPRE_ERROR_CONV class: stopped, not converged).
+    # Distinct from running to maxiter: converged=False either way, but
+    # stagnated=True says more iterations cannot help.
+    stagnated: "jax.Array | None" = None
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         try:
@@ -74,13 +80,16 @@ class ConvergenceInfo:
 
 
 def make_convergence_info(
-    iterations, relative_residual, converged, res_history=None
+    iterations, relative_residual, converged, res_history=None,
+    stagnated=None,
 ) -> ConvergenceInfo:
     return ConvergenceInfo(
         iterations=jnp.asarray(iterations, jnp.int32),
         relative_residual=jnp.asarray(relative_residual),
         converged=jnp.asarray(converged, jnp.bool_),
         res_history=res_history,
+        stagnated=(None if stagnated is None
+                   else jnp.asarray(stagnated, jnp.bool_)),
     )
 
 

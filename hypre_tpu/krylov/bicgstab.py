@@ -53,11 +53,12 @@ def bicgstab(
     one = jnp.asarray(1.0, b.dtype)
 
     def cond(state):
-        _, r, *_, i_prod, it, ok, _ = state
+        _, r, *_, i_prod, it, ok, _, _, _ = state
         return (i_prod > eps) & (it < maxiter) & ok
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, _, it, _, norms = state
+        (x, r, p, v, rho, alpha, omega, _, it, _, norms,
+         last_recomp, stall) = state
         rho_new = dot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
@@ -78,13 +79,29 @@ def bicgstab(
                 r2 = res_fn(x)
                 return r2, dot(r2, r2)
 
+            tentative = i_prod <= eps
             r, i_prod = jax.lax.cond(
-                i_prod <= eps, _recomp, lambda _: (r, i_prod), None
+                tentative, _recomp, lambda _: (r, i_prod), None
             )
         ok = jnp.isfinite(i_prod) & (rho_new != 0) & (rv != 0) & (tt > 0)
+        if recompute_residual:
+            # stagnation exit — same guard as pcg.py: 3 consecutive failing
+            # recomputes without >=10% i_prod improvement stop the solve
+            # (converged=False, stagnated=True) instead of spinning to
+            # maxiter at the f32 attainable floor
+            failed_recomp = tentative & (i_prod > eps)
+            improved = i_prod <= 0.9 * last_recomp
+            stall = jnp.where(
+                failed_recomp,
+                jnp.where(improved, jnp.int32(0), stall + 1),
+                stall,
+            )
+            last_recomp = jnp.where(failed_recomp, i_prod, last_recomp)
+            ok = ok & (stall < 3)
         if logging > 0:
             norms = norms.at[it + 1].set(jnp.sqrt(jnp.maximum(i_prod, 0.0)))
-        return (x, r, p, v, rho_new, alpha, omega, i_prod, it + 1, ok, norms)
+        return (x, r, p, v, rho_new, alpha, omega, i_prod, it + 1, ok,
+                norms, last_recomp, stall)
 
     i0 = dot(r, r)
     if logging > 0:
@@ -94,8 +111,9 @@ def bicgstab(
     else:
         norms0 = jnp.zeros((0,), b.dtype)
     state = (x, r, p, v, one, one, one, i0, jnp.int32(0), jnp.array(True),
-             norms0)
-    x, r, *_, i_prod, iters, ok, norms = jax.lax.while_loop(cond, body, state)
+             norms0, jnp.asarray(jnp.inf, i0.dtype), jnp.int32(0))
+    (x, r, *_, i_prod, iters, ok, norms, _,
+     stall) = jax.lax.while_loop(cond, body, state)
 
     safe_b = jnp.where(b_prod > 0, b_prod, 1.0)
     if final_residual:
@@ -108,4 +126,5 @@ def bicgstab(
     return x, make_convergence_info(
         iters, rel, converged,
         res_history=norms if logging > 0 else None,
+        stagnated=(stall >= 3) if recompute_residual else None,
     )
