@@ -658,6 +658,23 @@ def optimize_hierarchy(
             # transfers on stencil levels) — pass through, specializing
             # the embedded DIA transfer kernels when asked
             P = lev.P
+            if gather_precision == 0:
+                # bf16 diagonal slabs: the transfer SpMVs are pure HBM
+                # streams over the (D, n_fine) dvals (measured 2.4 ms each
+                # at 128^3/D=64 — the largest single V-cycle cost); halving
+                # the element size halves that stream. Rounding P's weights
+                # to bf16 (~1e-3 relative) sits inside the preconditioner
+                # only — same error class the exact=0 BandedEll gathers
+                # already accept; the outer Krylov drives exact residuals.
+                P = dataclasses.replace(
+                    P,
+                    P_dia=dataclasses.replace(
+                        P.P_dia,
+                        dvals=P.P_dia.dvals.astype(jnp.bfloat16)),
+                    Pt_dia=dataclasses.replace(
+                        P.Pt_dia,
+                        dvals=P.Pt_dia.dvals.astype(jnp.bfloat16)),
+                )
             if specialize:
                 P = dataclasses.replace(
                     P, P_dia=_spec_dia(P.P_dia), Pt_dia=_spec_dia(P.Pt_dia)

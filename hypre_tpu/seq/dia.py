@@ -341,7 +341,7 @@ def _dia_kernel(D, W, B, nb, offs_ref, x_hbm, v_ref, y_ref, xw0, xw1, sx):
             L1 = pltpu.roll(R1, 128 - r2, 1)
             L2 = pltpu.roll(L1, nrow - 1, 0)
             g = jnp.where(lane < 128 - r2, L1, L2).reshape(L)
-            t = v_ref[d, :] * g[:B]
+            t = v_ref[d, :].astype(jnp.float32) * g[:B]
             acc = t if acc is None else acc + t
         y_ref[:] = acc
 
@@ -413,9 +413,13 @@ def _dia_kernel_static(D, W, B, nb, offs_rel, x_hbm, v_ref, y_ref, xw0,
         x_dma(xw1, 1, i + 1).start()
 
     def compute(buf):
-        acc = v_ref[0, :] * buf[pl.ds(offs_rel[0], B)]
+        # v_ref may be bf16 (half-bandwidth transfer slabs) — the multiply
+        # promotes to f32, accumulation stays f32
+        acc = v_ref[0, :].astype(jnp.float32) * buf[pl.ds(offs_rel[0], B)]
         for d in range(1, D):
-            acc = acc + v_ref[d, :] * buf[pl.ds(offs_rel[d], B)]
+            acc = acc + v_ref[d, :].astype(jnp.float32) * buf[
+                pl.ds(offs_rel[d], B)
+            ]
         y_ref[:] = acc
 
     @pl.when(i % 2 == 0)
