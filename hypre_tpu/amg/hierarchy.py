@@ -658,22 +658,17 @@ def optimize_hierarchy(
             # transfers on stencil levels) — pass through, specializing
             # the embedded DIA transfer kernels when asked
             P = lev.P
-            if gather_precision == 0:
-                # bf16 diagonal slabs: the transfer SpMVs are pure HBM
-                # streams over the (D, n_fine) dvals (measured 2.4 ms each
-                # at 128^3/D=64 — the largest single V-cycle cost); halving
-                # the element size halves that stream. Rounding P's weights
-                # to bf16 (~1e-3 relative) sits inside the preconditioner
-                # only — same error class the exact=0 BandedEll gathers
-                # already accept; the outer Krylov drives exact residuals.
+            if jax.default_backend() == "tpu":
+                # block-major dvals copies for the pallas kernels: the
+                # (D, n) layout costs D strided DMA segments per grid step
+                # (~0.25 us of descriptor overhead each), which at D~64
+                # made the transfer SpMVs 3.5x slower than their stream
+                # floor (measured 2.4 ms vs 0.68 ms at 128^3). One device
+                # pass here buys roofline transfers for the whole solve.
                 P = dataclasses.replace(
                     P,
-                    P_dia=dataclasses.replace(
-                        P.P_dia,
-                        dvals=P.P_dia.dvals.astype(jnp.bfloat16)),
-                    Pt_dia=dataclasses.replace(
-                        P.Pt_dia,
-                        dvals=P.Pt_dia.dvals.astype(jnp.bfloat16)),
+                    P_dia=P.P_dia.pack_blocked(),
+                    Pt_dia=P.Pt_dia.pack_blocked(),
                 )
             if specialize:
                 P = dataclasses.replace(

@@ -37,20 +37,17 @@ from hypre_tpu.seq.ell import EllMatrix
 from hypre_tpu.seq.spgemm import ell_spgemm, ell_transpose
 
 
-def aggregate(A: EllMatrix, S: jax.Array) -> tuple[np.ndarray, int]:
-    """Greedy aggregation over the symmetrized strength graph
-    (mli_amgsa_coarsen1.cxx's coarsenLocal; VMB phases 1-3).
+def aggregate_graph(nbr: list) -> tuple[np.ndarray, int]:
+    """Greedy aggregation over an explicit symmetric adjacency (list of
+    neighbor sets) — VMB phases 1-3 (mli_amgsa_coarsen1.cxx coarsenLocal).
+    Shared by the matrix-strength path (``aggregate``) and the FEI
+    element-graph path (``FEISystem.element_graph_aggregates``,
+    mli_amgsa_calib.cxx's FE-data-driven coarsening).
 
     Returns (agg_id (n,) int64, n_aggregates); every node is assigned
     (isolated nodes become singleton aggregates so P keeps full rank).
     """
-    Sh = np.asarray(S)
-    cols = np.asarray(A.cols)
-    n, _ = cols.shape
-    nbr = [set(cols[i][Sh[i]].tolist()) for i in range(n)]
-    for i in range(n):           # symmetrize
-        for j in nbr[i]:
-            nbr[j].add(i)
+    n = len(nbr)
     agg = np.full(n, -1, np.int64)
     n_agg = 0
     # phase 1: roots whose whole neighborhood is free
@@ -78,6 +75,18 @@ def aggregate(A: EllMatrix, S: jax.Array) -> tuple[np.ndarray, int]:
                     agg[j] = n_agg
             n_agg += 1
     return agg, n_agg
+
+
+def aggregate(A: EllMatrix, S: jax.Array) -> tuple[np.ndarray, int]:
+    """Greedy aggregation over the symmetrized matrix strength graph."""
+    Sh = np.asarray(S)
+    cols = np.asarray(A.cols)
+    n, _ = cols.shape
+    nbr = [set(cols[i][Sh[i]].tolist()) for i in range(n)]
+    for i in range(n):           # symmetrize
+        for j in nbr[i]:
+            nbr[j].add(i)
+    return aggregate_graph(nbr)
 
 
 def tentative_prolongator(
@@ -143,6 +152,12 @@ class SmoothedAggAMG(BoomerAMG):
 
     null_space: Optional[jax.Array] = None  # (n, nb); None -> constants
     prolongator_smoothing: float = 4.0 / 3.0  # omega scale; 0 = unsmoothed P0
+    # precomputed FINE-level aggregation (agg_id (n,), n_agg) — the FEI
+    # element-graph coarsening slice (mli_amgsa_calib.cxx: aggregate on
+    # element connectivity instead of the assembled-matrix strength graph;
+    # FEISystem.element_graph_aggregates produces it). Coarser levels have
+    # no element data and fall back to matrix-strength aggregation.
+    agg0: Optional[tuple] = None
 
     def _do_setup(self, A: EllMatrix) -> None:
         from hypre_tpu.amg.hierarchy import AMGHierarchy, Level, _level_vectors
@@ -156,8 +171,16 @@ class SmoothedAggAMG(BoomerAMG):
             len(levels) < self.max_levels - 1
             and A.n_rows > self.max_coarse_size
         ):
-            S = strength_mask(A, self.strength_threshold)
-            agg, n_agg = aggregate(A, S)
+            if not levels and self.agg0 is not None:
+                agg, n_agg = self.agg0
+                agg = np.asarray(agg)
+                if agg.shape[0] != A.n_rows:
+                    raise ValueError(
+                        f"agg0 covers {agg.shape[0]} rows, A has {A.n_rows}"
+                    )
+            else:
+                S = strength_mask(A, self.strength_threshold)
+                agg, n_agg = aggregate(A, S)
             nb = B.shape[1]
             if n_agg * nb == 0 or n_agg * nb >= 0.9 * A.n_rows:
                 break

@@ -97,6 +97,15 @@ class DiaMatrix:
     offsets_static: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Block-major duplicate of dvals for the pallas kernels: (nb*D, blk_B)
+    # with block i's D row-segments contiguous at rows [i*D, (i+1)*D).
+    # The (D, n) layout makes each grid step fetch D strided row-segments —
+    # measured ~0.25 us of DMA descriptor overhead each, which at D=64
+    # dominated the transfer SpMV (2.4 ms vs the 0.68 ms roofline). The
+    # blocked copy is ONE contiguous DMA per step: measured 820 GB/s.
+    # Built by pack_blocked(); None = stream from dvals directly.
+    dvals_blk: jax.Array | None = None
+    blk_B: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def __post_init__(self):
         offs = self.offsets
@@ -147,6 +156,28 @@ class DiaMatrix:
 
     def abs_row_sums(self) -> jax.Array:
         return jnp.sum(jnp.abs(self.dvals), axis=0)
+
+    def pack_blocked(self) -> "DiaMatrix":
+        """Attach the block-major dvals copy the pallas kernels stream at
+        roofline speed (one contiguous DMA per grid step). One extra
+        device pass at build time; a no-op if already packed."""
+        if self.dvals_blk is not None:
+            return self
+        n, D = self.n_rows, self.D
+        B = _pick_B(D, n)
+        if n < 4096:
+            return self  # pallas path never engages below the size floor
+        if D < 16:
+            # narrow operators (the 7-pt fine level) lose more to the
+            # D->8k sublane padding (+14% dvals traffic) than they pay in
+            # strided-segment overhead: measured 821 GB/s unblocked vs
+            # 782 blocked at D=7. Blocking wins from D~16 up (64-diagonal
+            # transfers: 233 -> 820 GB/s).
+            return self
+        nb = -(-n // B)
+        n_pad = nb * B
+        blk = _jit_pack_blocked(self.dvals, B, n_pad)
+        return dataclasses.replace(self, dvals_blk=blk, blk_B=B)
 
     def mv(self, x: jax.Array) -> jax.Array:
         if x.shape[0] != self.n_cols:
@@ -217,6 +248,27 @@ class DiaMatrix:
                 x, self.offsets[d], self.margin
             )
         return y
+
+
+def _pick_B(D: int, n: int) -> int:
+    """Row-block size for the pallas kernels: VMEM budget — the
+    auto-pipelined dvals block costs 2*D*B*4 bytes and the two x windows
+    2*W*4; size B so many-diagonal operators (fine-space transfers carry
+    ~63) stay under the 16 MB limit."""
+    b_cap = max(4096, min(32768,
+                          (8_000_000 // (max(D, 1) * 8)) // 1024 * 1024))
+    return b_cap if n >= b_cap else max(1024, 1 << (n - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("B", "n_pad"))
+def _jit_pack_blocked(dvals, B, n_pad):
+    # D padded to a multiple of 8: pallas requires block sublane counts
+    # divisible by 8 (the pad rows are zeros the kernel never reads)
+    D, n = dvals.shape
+    D8 = -(-D // 8) * 8
+    nb = n_pad // B
+    p = jnp.pad(dvals, ((0, D8 - D), (0, n_pad - n)))
+    return p.reshape(D8, nb, B).transpose(1, 0, 2).reshape(nb * D8, B)
 
 
 def make_dia(dvals, offsets_host, n_cols: int) -> DiaMatrix:
@@ -356,18 +408,22 @@ def _dia_kernel(D, W, B, nb, offs_ref, x_hbm, v_ref, y_ref, xw0, xw1, sx):
         compute(xw1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _dia_pallas_call(D, W, B, n_pad, offs_rel, xpad, dvals_pad):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _dia_pallas_call(D, W, B, n_pad, blocked, offs_rel, xpad, dvals_pad):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = n_pad // B
+    D8 = -(-D // 8) * 8  # blocked copies pad D to a sublane multiple
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # offs_rel lands in SMEM
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x, windowed manually
-            pl.BlockSpec((D, B), lambda i, o: (0, i)),
+            # blocked: (nb*D8, B) block-major dvals — one contiguous DMA
+            # per grid step (see DiaMatrix.dvals_blk)
+            (pl.BlockSpec((D8, B), lambda i, o: (i, 0)) if blocked
+             else pl.BlockSpec((D, B), lambda i, o: (0, i))),
         ],
         out_specs=pl.BlockSpec((B,), lambda i, o: (i,)),
         scratch_shapes=[
@@ -433,18 +489,24 @@ def _dia_kernel_static(D, W, B, nb, offs_rel, x_hbm, v_ref, y_ref, xw0,
         compute(xw1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _dia_pallas_call_static(D, W, B, n_pad, offs_rel, xpad, dvals_pad):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _dia_pallas_call_static(D, W, B, n_pad, offs_rel, blocked, xpad,
+                            dvals_pad):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = n_pad // B
+    D8 = -(-D // 8) * 8  # blocked copies pad D to a sublane multiple
     f = pl.pallas_call(
         functools.partial(_dia_kernel_static, D, W, B, nb, offs_rel),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x, windowed manually
-            pl.BlockSpec((D, B), lambda i: (0, i)),
+            # block-major (nb*D8, B): ONE contiguous DMA per step vs D
+            # strided row-segments (descriptor overhead measured ~0.25 us
+            # each — 3.5x the whole kernel at D=64)
+            (pl.BlockSpec((D8, B), lambda i: (i, 0)) if blocked
+             else pl.BlockSpec((D, B), lambda i: (0, i))),
         ],
         out_specs=pl.BlockSpec((B,), lambda i: (i,)),
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
@@ -464,9 +526,7 @@ def dia_spmv_pallas_static(A: DiaMatrix, x: jax.Array) -> jax.Array:
     n = A.n_rows
     offs = A.offsets_static
     D = len(offs)
-    b_cap = max(4096, min(32768,
-                          (10_000_000 // (max(D, 1) * 8)) // 1024 * 1024))
-    B = b_cap if n >= b_cap else max(1024, 1 << (n - 1).bit_length())
+    B = A.blk_B if A.dvals_blk is not None else _pick_B(D, n)
     n_pad = -(-n // B) * B
     min_o, max_o = min(offs + (0,)), max(offs + (0,))
     lead = -(-(-min_o) // ALIGN) * ALIGN  # aligned left pad >= -min_o
@@ -475,12 +535,17 @@ def dia_spmv_pallas_static(A: DiaMatrix, x: jax.Array) -> jax.Array:
     xpad = jnp.zeros(lead + n_pad + (W - B), x.dtype).at[
         lead : lead + n
     ].set(x)
+    if A.dvals_blk is not None:
+        y = _dia_pallas_call_static(D, W, B, n_pad, offs_rel, True,
+                                    xpad, A.dvals_blk)
+        return y[:n]
     dvals_pad = (
         A.dvals
         if n_pad == n
         else jnp.pad(A.dvals, ((0, 0), (0, n_pad - n)))
     )
-    y = _dia_pallas_call_static(D, W, B, n_pad, offs_rel, xpad, dvals_pad)
+    y = _dia_pallas_call_static(D, W, B, n_pad, offs_rel, False, xpad,
+                                dvals_pad)
     return y[:n]
 
 
@@ -491,11 +556,7 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array) -> jax.Array:
     operator shares the program."""
     n = A.n_rows
     D = A.D
-    # VMEM budget: the auto-pipelined dvals block costs 2*D*B*4 bytes and
-    # the two x windows 2*W*4; size B so many-diagonal operators (the
-    # fine-space transfer matrices carry ~63) stay under the 16 MB limit
-    b_cap = max(4096, min(32768, (8_000_000 // (max(D, 1) * 8)) // 1024 * 1024))
-    B = b_cap if n >= b_cap else max(1024, 1 << (n - 1).bit_length())
+    B = A.blk_B if A.dvals_blk is not None else _pick_B(D, n)
     n_pad = -(-n // B) * B
     lead = A.margin  # ALIGN multiple by construction
     W = 2 * lead + B + ALIGN
@@ -503,10 +564,14 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array) -> jax.Array:
     xpad = jnp.zeros(lead + n_pad + (W - B), x.dtype).at[
         lead : lead + n
     ].set(x)
+    if A.dvals_blk is not None:
+        y = _dia_pallas_call(D, W, B, n_pad, True, offs_rel, xpad,
+                             A.dvals_blk)
+        return y[:n]
     dvals_pad = (
         A.dvals
         if n_pad == n
         else jnp.pad(A.dvals, ((0, 0), (0, n_pad - n)))
     )
-    y = _dia_pallas_call(D, W, B, n_pad, offs_rel, xpad, dvals_pad)
+    y = _dia_pallas_call(D, W, B, n_pad, False, offs_rel, xpad, dvals_pad)
     return y[:n]

@@ -454,6 +454,10 @@ def optimize_operator(
     else:
         dia = try_dia(A, specialize=specialize)
     if dia is not None:
+        if jax.default_backend() == "tpu":
+            # block-major dvals copy: one contiguous DMA per kernel step
+            # instead of D strided segments (see DiaMatrix.dvals_blk)
+            dia = dia.pack_blocked()
         return dia
     if A.n_rows * A.k < MIN_BANDED_ELEMENTS:
         return A

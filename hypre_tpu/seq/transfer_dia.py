@@ -169,8 +169,8 @@ def probe_transfer_offsets(pc, cf, nc: int, max_offsets: int = 96):
     return tuple(sorted(int(o) for o in offs))
 
 
-@_ft.partial(jax.jit, static_argnames=("nc", "D", "margin", "B"))
-def _build_fused(pc, pv, cf, nc, offs_arr, D, margin, B=1024):
+@_ft.partial(jax.jit, static_argnames=("nc", "D", "margin", "B_e", "B_c"))
+def _build_fused(pc, pv, cf, nc, offs_arr, D, margin, B_e=8192, B_c=2048):
     """Diagonal planes (scatter-add over offset ids — one 7.8 ns/elt pass
     instead of |offs| masked sweeps), their transpose, and the expand /
     compress selection payloads with their window schedules: the whole
@@ -218,16 +218,22 @@ def _build_fused(pc, pv, cf, nc, offs_arr, D, margin, B=1024):
             [x, jnp.full((m - r,) + x.shape[1:], fill, x.dtype)]
         )
 
-    n_pad_e = -(-n // B) * B
-    n_pad_c = -(-nc // B) * B
+    # Block sizes per side (round-5): the selection kernels are pure
+    # per-grid-step overhead at k=1 (~0.2 us/step) — B=1024 cost 2048
+    # steps = ~0.45 ms per direction at 128^3. Expand gathers from the
+    # COARSE vector (window ~ B_e / coarsening ratio, stays small at
+    # B_e=8192); compress gathers from the FINE vector (window ~ B_c *
+    # ratio, so B_c stays at 2048 to keep W inside VMEM).
+    n_pad_e = -(-n // B_e) * B_e
+    n_pad_c = -(-nc // B_c) * B_c
     e_cols_p = pad_to(e_cols, n_pad_e, -1)
     e_vals_p = pad_to(e_vals, n_pad_e, 0)
     c_cols_p = pad_to(c_cols, n_pad_c, -1)
     c_vals_p = pad_to(c_vals, n_pad_c, 0)
-    lo_e, sc_e = _sched_impl(e_cols_p, B, n_pad_e)
-    ev_t, el_t = _payload_impl(e_vals_p, e_cols_p, lo_e, B)
-    lo_c, sc_c = _sched_impl(c_cols_p, B, n_pad_c)
-    cv_t, cl_t = _payload_impl(c_vals_p, c_cols_p, lo_c, B)
+    lo_e, sc_e = _sched_impl(e_cols_p, B_e, n_pad_e)
+    ev_t, el_t = _payload_impl(e_vals_p, e_cols_p, lo_e, B_e)
+    lo_c, sc_c = _sched_impl(c_cols_p, B_c, n_pad_c)
+    cv_t, cl_t = _payload_impl(c_vals_p, c_cols_p, lo_c, B_c)
     return (dvals, dvalsT, e_vals, e_cols, c_cols, c_vals, ev_t, el_t,
             lo_e, cv_t, cl_t, lo_c, jnp.concatenate([sc_e, sc_c]))
 
@@ -250,7 +256,7 @@ def build_transfer_dia(P, cf, offs, exact: int = 0,
         return None
     n = P.n_rows
     nc = P.n_cols
-    B = 1024
+    B_e, B_c = 8192, 2048  # see _build_fused: per-side selection blocks
     # pad the offset COUNT to a bucket (repeat the last offset: searchsorted
     # resolves duplicates to the first slot, so padded planes stay zero) —
     # the fused program and the DIA kernels then key on the bucket, not the
@@ -278,13 +284,13 @@ def build_transfer_dia(P, cf, offs, exact: int = 0,
     )
     Eb = BandedEll(
         ell=EllMatrix(vals=e_vals, cols=e_cols, n_cols=nc),
-        vals_t=ev_t, lcols_t=el_t, starts=lo_e, W=W_e, B=B,
+        vals_t=ev_t, lcols_t=el_t, starts=lo_e, W=W_e, B=B_e,
         n_xpad=_xpad_bucket(max(lm_e + W_e, nc)),
         exact=exact, n_rows_s=n, n_cols_s=nc,
     )
     Cb = BandedEll(
         ell=EllMatrix(vals=c_vals, cols=c_cols, n_cols=n),
-        vals_t=cv_t, lcols_t=cl_t, starts=lo_c, W=W_c, B=B,
+        vals_t=cv_t, lcols_t=cl_t, starts=lo_c, W=W_c, B=B_c,
         n_xpad=_xpad_bucket(max(lm_c + W_c, n)),
         exact=exact, n_rows_s=nc, n_cols_s=n,
     )
