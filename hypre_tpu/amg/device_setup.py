@@ -1063,6 +1063,198 @@ def _jit_level_vectors(vals, cols, need_cheby):
     return dinv, l1inv, lmax
 
 
+# ---------------------------------------------------------------------------
+# Fast replay path (round-5, verdict item 6): a completed setup records its
+# LADDER — per-level coarse sizes, verified slab widths, chunking, transfer
+# offsets/windows — keyed by (exact shape, knob fingerprint) in the warmup
+# shape registry. A later setup of the same shape replays the same program
+# dispatches with NO intermediate host syncs (the per-level n_c pull and
+# width-verification pulls cost ~30 ms of tunnel RTT each — ~0.8 s of the
+# 2.7 s warm setup), then verifies EVERYTHING in one final pull: every
+# n_c equal, every width sufficient, transfer probes matching. Any mismatch
+# (e.g. same-shape different-operator) discards the fast attempt and falls
+# back to the slow path, so the replay is a pure latency optimization.
+# ---------------------------------------------------------------------------
+
+
+def _knobs_sig(**kw) -> str:
+    return "|".join(f"{k}={kw[k]}" for k in sorted(kw))
+
+
+def _ladder_registry():
+    from hypre_tpu import warmup as _wu
+    import json as _json
+
+    if _wu._SHAPE_REG is None:
+        try:
+            with open(_wu._shape_reg_path()) as f:
+                _wu._SHAPE_REG = _json.load(f)
+        except (OSError, ValueError):
+            _wu._SHAPE_REG = {}
+    return _wu._SHAPE_REG
+
+
+def _shape_sig(n_rows: int, k: int, shifts) -> str:
+    sh = "none" if shifts is None else ",".join(str(int(x)) for x in shifts)
+    return f"{n_rows}|{k}|{sh}"
+
+
+def _ladder_get(sig: str, ksig: str):
+    reg = _ladder_registry()
+    return reg.get(f"ladder|{sig}|{ksig}")
+
+
+def _ladder_put(sig: str, ksig: str, ladder) -> None:
+    import json as _json
+    import os as _os
+    from hypre_tpu import warmup as _wu
+
+    reg = _ladder_registry()
+    reg[f"ladder|{sig}|{ksig}"] = ladder
+    try:
+        _os.makedirs(_os.path.dirname(_wu._shape_reg_path()), exist_ok=True)
+        with open(_wu._shape_reg_path(), "w") as f:
+            _json.dump(reg, f)
+    except OSError:
+        pass
+
+
+@jax.jit
+def _jit_pack_verif(parts):
+    return jnp.concatenate([jnp.ravel(p).astype(jnp.float32) for p in parts])
+
+
+def _try_fast_setup(A, shifts, n_fine_true, rec, *, s_cap, need_cheby,
+                    strength_threshold, max_row_sum, p_max_elmts,
+                    trunc_factor, symmetric, ap_cap, coarse_drop_tol,
+                    transfer_dia, log):
+    """Replay a recorded setup ladder with zero intermediate host syncs.
+
+    Every dispatch reuses the exact static signatures the slow path
+    compiled (pure cache hits); correctness rests on the ONE final
+    verification pull — any mismatch returns None and the caller falls
+    back to the slow path."""
+    from hypre_tpu.amg.hierarchy import AMGHierarchy, Level
+    from hypre_tpu.seq.transfer_dia import (
+        _probe_offsets_jit, build_transfer_dia,
+    )
+
+    dtype = A.dtype
+    theta = jnp.asarray(strength_threshold, dtype)
+    A_cur = A
+    levels = []
+    parts = []   # device arrays for the final verification pull
+    shape_plan = []  # (kind, rec_lev) mirroring parts for host decoding
+    for rl in rec["levels"]:
+        n, kA = A_cur.cols.shape
+        if kA != rl["kA"] or rl["ncb"] <= 0:
+            return None
+        aggressive = bool(rl["agg"])
+        if aggressive:
+            scols, svals, cf, cmap, n_c, dinv, l1inv, lmax = _jit_split_agg2(
+                A_cur.vals, A_cur.cols, theta, min(s_cap, kA),
+                _bucket(4 * min(s_cap, kA)), shifts, need_cheby,
+                mxrs=max_row_sum,
+            )
+            pc, pv, tc, tv, acc, acv, reqs_d = _jit_level_build_agg(
+                A_cur.vals, A_cur.cols, scols, svals, cf, cmap,
+                max(p_max_elmts, 1), rl["mp"], shifts, rl["ncb"], rl["ap"],
+                ap_cap, rl["chap"], rl["t"], rl["ac"], rl["chac"],
+                float(coarse_drop_tol),
+            )
+        else:
+            (scols, svals, sback, cf, cmap, n_c, dinv, l1inv,
+             lmax) = _jit_split2(
+                A_cur.vals, A_cur.cols, theta, min(s_cap, kA), shifts,
+                symmetric, need_cheby, mxrs=max_row_sum,
+            )
+            pc, pv, tc, tv, acc, acv, reqs_d = _jit_level_build(
+                A_cur.vals, A_cur.cols, scols, svals, sback, cf, cmap,
+                rl["out_k"], p_max_elmts, float(trunc_factor), shifts,
+                symmetric, rl["chi"], rl["ncb"], rl["ap"], ap_cap,
+                rl["chap"], rl["t"], rl["ac"], rl["chac"],
+                float(coarse_drop_tol),
+            )
+        parts.append(jnp.ravel(n_c))
+        parts.append(reqs_d)
+        shape_plan.append(("level", rl, 1 + reqs_d.shape[0]))
+        if rl["tw"] < tc.shape[1]:
+            tc, tv = tc[:, : rl["tw"]], tv[:, : rl["tw"]]
+        if rl["aw"] < acc.shape[1]:
+            acc, acv = acc[:, : rl["aw"]], acv[:, : rl["aw"]]
+        P = EllMatrix(vals=pv, cols=pc, n_cols=rl["ncb"])
+        P_store, Pt_store = P, EllMatrix(vals=tv, cols=tc, n_cols=n)
+        if transfer_dia and shifts is not None and rl.get("tdia"):
+            offs = tuple(int(o) for o in rl["tdia"])
+            uniq = _probe_offsets_jit(pc, cf, rl["ncb"], 97)
+            built = build_transfer_dia(
+                P, cf, offs,
+                known_windows=(rl["we"], rl["xe"], rl["wc"], rl["xc"]),
+            )
+            if built is None:
+                return None
+            T, sc = built
+            parts.append(uniq)
+            parts.append(sc)
+            shape_plan.append(("tdia", rl, uniq.shape[0] + sc.shape[0]))
+            P_store, Pt_store = T, None
+        cf_pad = jnp.zeros(dinv.shape, jnp.int8).at[: cf.shape[0]].set(
+            cf.astype(jnp.int8)
+        )
+        levels.append(
+            Level(A=A_cur, P=P_store, Pt=Pt_store, dinv=dinv, l1inv=l1inv,
+                  lmax=lmax, cf=cf_pad)
+        )
+        A_cur = EllMatrix(vals=acv, cols=acc, n_cols=rl["ncb"])
+        shifts = None
+    nc_final = rec["levels"][-1]["nc"]
+    inv, resid = _jit_coarse_inv(A_cur.vals, A_cur.cols,
+                                 jnp.int32(nc_final))
+    parts.append(jnp.ravel(resid))
+    packed = np.asarray(_jit_pack_verif(tuple(parts)))
+
+    # ---- host verification (single pull above) ----
+    pos = 0
+    for kind, rl, ln in shape_plan:
+        seg = packed[pos : pos + ln]
+        pos += ln
+        if kind == "level":
+            n_c_v = int(seg[0])
+            reqs = seg[1:]
+            ok = (
+                n_c_v == rl["nc"]
+                and reqs[1] <= rl["ap"] and reqs[2] <= rl["t"]
+                and reqs[3] <= rl["ac"] and reqs[4] <= rl["aw"]
+                and (len(reqs) < 6 or reqs[5] == 0)
+            )
+            if not ok:
+                log(f"fast-setup verification failed at a level: n_c "
+                    f"{n_c_v} vs {rl['nc']}, reqs {reqs.tolist()}")
+                return None
+        else:  # tdia
+            uniq = seg[:97]
+            sc = seg[97:]
+            offs = rl["tdia"]
+            d0 = len(offs)
+            if not (
+                np.array_equal(uniq[:d0], np.asarray(offs, np.float32))
+                and (d0 >= 97 or uniq[d0] >= 2.0**30)
+                and sc[0] <= rl["we"] and sc[1] + rl["we"] <= rl["xe"]
+                and sc[2] <= rl["wc"] and sc[3] + rl["wc"] <= rl["xc"]
+            ):
+                log("fast-setup verification failed at a transfer probe")
+                return None
+    resid_v = packed[pos]
+    if not np.isfinite(resid_v) or resid_v > 1e-3:
+        inv, _ = _jit_coarse_inv(A_cur.vals, A_cur.cols,
+                                 jnp.int32(nc_final), pinv=True)
+    log("fast-setup replay verified")
+    return AMGHierarchy(
+        levels=levels, coarse_inv=inv, galerkin=True, n_fine=n_fine_true,
+        n_level_true=tuple([n_fine_true] + [r["nc"] for r in rec["levels"]]),
+    )
+
+
 def setup_hierarchy_device(
     A: EllMatrix,
     strength_threshold: float = 0.25,
@@ -1150,6 +1342,30 @@ def setup_hierarchy_device(
     else:
         shifts = None
     A_cur = A
+
+    ksig = _knobs_sig(
+        th=strength_threshold, mrs=max_row_sum, ml=max_levels,
+        mcs=max_coarse_size, pme=p_max_elmts, tf=trunc_factor, rx=need_cheby,
+        crt=coarsen_rtol, sc=s_cap, apc=ap_cap, sym=symmetric,
+        agg=agg_num_levels, cdt=coarse_drop_tol, td=transfer_dia,
+    )
+    shape_sig = _shape_sig(A.n_rows, A.k, shifts_host)
+    if row_bucket and os.environ.get("HYPRE_TPU_NO_FAST_SETUP") != "1":
+        rec = _ladder_get(shape_sig, ksig)
+        if rec:
+            h = _try_fast_setup(
+                A, shifts, n_fine, rec, s_cap=s_cap,
+                need_cheby=need_cheby,
+                strength_threshold=strength_threshold,
+                max_row_sum=max_row_sum, p_max_elmts=p_max_elmts,
+                trunc_factor=trunc_factor, symmetric=symmetric,
+                ap_cap=ap_cap, coarse_drop_tol=coarse_drop_tol,
+                transfer_dia=transfer_dia, log=_log,
+            )
+            if h is not None:
+                return h
+            _log("fast-setup replay rejected — slow path")
+    ladder_recs = []
 
     while len(levels) < max_levels - 1 and n_true > max_coarse_size:
         n, kA = A_cur.cols.shape
@@ -1283,6 +1499,7 @@ def setup_hierarchy_device(
 
         P = EllMatrix(vals=pv, cols=pc, n_cols=nc_b)
         P_store, Pt_store = P, EllMatrix(vals=tv, cols=tc, n_cols=n)
+        _t_offs = None
         if transfer_dia and shifts is not None:
             # stencil level: store the interpolation as fine-space
             # diagonals so solve-phase transfers ride the roofline DIA
@@ -1303,6 +1520,7 @@ def setup_hierarchy_device(
             )
             if T is not None:
                 P_store, Pt_store = T, None
+                _t_offs = offs
         _log(f"L{lev_id} level stored (transfer_dia="
              f"{Pt_store is None})")
         cf_pad = jnp.zeros(dinv.shape, jnp.int8).at[: cf.shape[0]].set(
@@ -1312,6 +1530,21 @@ def setup_hierarchy_device(
             Level(A=A_cur, P=P_store, Pt=Pt_store, dinv=dinv, l1inv=l1inv,
                   lmax=lmax, cf=cf_pad)
         )
+        # record this level for the fast replay path (see _try_fast_setup)
+        _T = P_store if Pt_store is None else None
+        ladder_recs.append(dict(
+            agg=int(aggressive), kA=int(kA), ncb=int(nc_b),
+            nc=int(n_coarse), out_k=int(out_k if not aggressive else 0),
+            mp=int(mp), ap=int(out_ap), t=int(out_t), ac=int(out_ac),
+            chi=int(ch_i), chap=int(nchunks(n, kA * (kP or out_k))),
+            chac=int(nchunks(nc_b, out_t * out_ap)),
+            tw=int(tc.shape[1]), aw=int(acc.shape[1]),
+            tdia=(None if _T is None else [int(o) for o in _t_offs]),
+            we=0 if _T is None else int(_T.expand.W),
+            xe=0 if _T is None else int(_T.expand.n_xpad),
+            wc=0 if _T is None else int(_T.compress.W),
+            xc=0 if _T is None else int(_T.compress.n_xpad),
+        ))
         A_cur = EllMatrix(vals=acv, cols=acc, n_cols=nc_b)
         n_true = n_coarse
         true_sizes.append(n_true)
@@ -1325,6 +1558,8 @@ def setup_hierarchy_device(
     if not bool(jnp.isfinite(resid)) or float(resid) > 1e-3:
         inv, _ = _jit_coarse_inv(A_cur.vals, A_cur.cols,
                                  jnp.int32(n_true), pinv=True)
+    if row_bucket and ladder_recs:
+        _ladder_put(shape_sig, ksig, {"levels": ladder_recs})
     return AMGHierarchy(levels=levels, coarse_inv=inv, galerkin=True,
                         n_fine=n_fine,
                         n_level_true=tuple(true_sizes) if row_bucket else ())

@@ -239,7 +239,7 @@ def _build_fused(pc, pv, cf, nc, offs_arr, D, margin, B_e=8192, B_c=2048):
 
 
 def build_transfer_dia(P, cf, offs, exact: int = 0,
-                       max_window: int = 131072):
+                       max_window: int = 131072, known_windows=None):
     """TransferDia from P + the CF split + plan-cached offsets: one fused
     dispatch and one 4-scalar pull (the unfused path cost ~0.8 s of
     dispatch/pull overhead per setup through this tunnel).
@@ -271,6 +271,31 @@ def build_transfer_dia(P, cf, offs, exact: int = 0,
      cv_t, cl_t, lo_c, sc) = _build_fused(P.cols, P.vals, cf, nc,
                                           offs_arr, D, margin)
     from hypre_tpu.seq.fastmv import _wbucket, _xpad_bucket
+
+    if known_windows is not None:
+        # replay path (fast setup): the window buckets were recorded by an
+        # earlier identical setup — skip the scalar pull and hand the raw
+        # schedule scalars back for deferred verification
+        W_e, xe, W_c, xc = known_windows
+        P_dia = DiaMatrix(dvals=dvals, offsets=offs_p, n_cols=n,
+                          margin=margin)
+        Pt_dia = DiaMatrix(
+            dvals=dvalsT, offsets=tuple(-o for o in offs_p), n_cols=n,
+            margin=margin,
+        )
+        Eb = BandedEll(
+            ell=EllMatrix(vals=e_vals, cols=e_cols, n_cols=nc),
+            vals_t=ev_t, lcols_t=el_t, starts=lo_e, W=W_e, B=B_e,
+            n_xpad=xe, exact=exact, n_rows_s=n, n_cols_s=nc,
+        )
+        Cb = BandedEll(
+            ell=EllMatrix(vals=c_vals, cols=c_cols, n_cols=n),
+            vals_t=cv_t, lcols_t=cl_t, starts=lo_c, W=W_c, B=B_c,
+            n_xpad=xc, exact=exact, n_rows_s=nc, n_cols_s=n,
+        )
+        T = TransferDia(P_dia=P_dia, Pt_dia=Pt_dia, expand=Eb,
+                        compress=Cb, n_coarse_s=nc)
+        return T, sc
 
     wm_e, lm_e, wm_c, lm_c = (int(v) for v in np.asarray(sc))
     W_e = _wbucket(wm_e)

@@ -465,3 +465,47 @@ def test_bucketed_matches_unbucketed_stencil_nonpow2():
     # stencil (shifts) path with fine-level padding: 10x9 = 90 rows
     A = laplacian_2d_5pt(10, 9)
     _assert_hier_equal(*_hier_pair(A, max_coarse_size=20))
+
+
+def test_fast_setup_replay_identical_and_rejects_mismatch(tmp_path, monkeypatch):
+    """Round-5 fast replay path (device_setup._try_fast_setup): a repeat
+    setup of a recorded (shape, knobs) ladder must produce a bit-identical
+    hierarchy with zero intermediate host syncs, and a DIFFERENT operator
+    of the same shape must be caught by the deferred verification (n_c
+    mismatch) and fall back to the slow path."""
+    import hypre_tpu.warmup as wu
+
+    monkeypatch.setenv("HYPRE_TPU_SHAPE_REGISTRY",
+                       str(tmp_path / "reg.json"))
+    monkeypatch.setattr(wu, "_SHAPE_REG", None)
+    A = laplacian_3d_7pt(12, 12, 12)
+    kw = dict(max_coarse_size=100, relax="chebyshev", agg_num_levels=1,
+              coarse_drop_tol=0.02)
+    h1 = setup_hierarchy_device(A, **kw)   # slow path records the ladder
+    h2 = setup_hierarchy_device(A, **kw)   # replay
+    assert [l.A.n_rows for l in h1.levels] == [l.A.n_rows
+                                               for l in h2.levels]
+    for l1, l2 in zip(h1.levels, h2.levels):
+        np.testing.assert_array_equal(np.asarray(l1.A.cols),
+                                      np.asarray(l2.A.cols))
+        np.testing.assert_allclose(np.asarray(l1.A.vals),
+                                   np.asarray(l2.A.vals))
+    np.testing.assert_allclose(np.asarray(h1.coarse_inv),
+                               np.asarray(h2.coarse_inv))
+    # different operator, same shape: replay must reject or match — either
+    # way the result must equal a from-scratch slow-path setup
+    rng = np.random.default_rng(0)
+    A3 = dataclasses.replace(A, vals=A.vals * (1.0 + 0.3 * jnp.asarray(
+        rng.random(A.vals.shape), A.dtype)))
+    h3 = setup_hierarchy_device(A3, **kw)
+    import os
+    os.environ["HYPRE_TPU_NO_FAST_SETUP"] = "1"
+    try:
+        h3_ref = setup_hierarchy_device(A3, **kw)
+    finally:
+        del os.environ["HYPRE_TPU_NO_FAST_SETUP"]
+    assert [l.A.n_rows for l in h3.levels] == [l.A.n_rows
+                                               for l in h3_ref.levels]
+    for l1, l2 in zip(h3.levels, h3_ref.levels):
+        np.testing.assert_allclose(np.asarray(l1.A.vals),
+                                   np.asarray(l2.A.vals))
