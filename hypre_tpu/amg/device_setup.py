@@ -1335,7 +1335,12 @@ def setup_hierarchy_device(
         nb = _row_bucket(n_true)
         if nb != n_true:
             pv_, pc_ = _jit_pad_rows(A.vals, A.cols, nb)
-            A = EllMatrix(vals=pv_, cols=pc_, n_cols=nb)
+            # keep the shifts annotation: padded rows are empty, so the
+            # "cols[i,s] == i+shift at every VALID slot" contract still
+            # holds — without it the padded fine level loses the DIA
+            # solve kernels (optimize_operator would fall back to gather)
+            A = EllMatrix(vals=pv_, cols=pc_, n_cols=nb,
+                          shifts=shifts_host)
             _log(f"row bucket: {n_true} -> {nb}")
     if shifts_host is not None:
         shifts = make_stencil_pack(shifts_host, A.n_rows, with_d2=True)

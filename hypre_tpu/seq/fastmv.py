@@ -313,6 +313,23 @@ def banded_spmv(A: BandedEll, x: jax.Array) -> jax.Array:
     return y[: A.n_rows]
 
 
+def banded_from_sched(A: EllMatrix, vals_t, lcols_t, lo_d, wmax: int,
+                      lomax: int, exact: int = 1,
+                      max_window: int = 131072) -> "BandedEll | None":
+    """BandedEll from a PRE-DISPATCHED ``_banded_sched_payload`` result
+    whose schedule scalars were pulled by the caller — lets
+    optimize_hierarchy batch every level's scalar pull into one transfer
+    (each pull costs ~30 ms of tunnel RTT)."""
+    W = _wbucket(wmax)
+    if W > max_window:
+        return None
+    return BandedEll(
+        ell=A, vals_t=vals_t, lcols_t=lcols_t, starts=lo_d, W=W, B=1024,
+        n_xpad=_xpad_bucket(max(lomax + W, A.n_cols)), exact=exact,
+        n_rows_s=A.n_rows, n_cols_s=A.n_cols,
+    )
+
+
 def try_banded(
     A: EllMatrix,
     block: int | None = None,
