@@ -272,3 +272,26 @@ def warmup_family(stencil: str = "7pt", n_max: int = 2 ** 21,
             break
         s = s2
     return done
+
+
+def _main(argv=None):  # pragma: no cover - thin CLI
+    """Install-time priming CLI: ``python -m hypre_tpu.warmup 7pt [n_max]``.
+
+    Primes the stencil family's whole row-bucket ladder into the
+    persistent compilation cache (see README "Install-time priming")."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("family", nargs="?", default="7pt",
+                    choices=("7pt", "27pt", "5pt", "9pt"))
+    ap.add_argument("n_max", nargs="?", type=int, default=2 ** 21)
+    args = ap.parse_args(argv)
+    enable_persistent_cache()
+    done = warmup_family(args.family, n_max=args.n_max)
+    for b, secs in done:
+        _log(f"bucket {b}: {secs:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(_main())

@@ -509,3 +509,19 @@ def test_fast_setup_replay_identical_and_rejects_mismatch(tmp_path, monkeypatch)
     for l1, l2 in zip(h3.levels, h3_ref.levels):
         np.testing.assert_allclose(np.asarray(l1.A.vals),
                                    np.asarray(l2.A.vals))
+
+
+def test_row_padding_preserves_stencil_annotation_and_dia_solve_path():
+    """Round-5 regression pin: row-bucket padding must keep the fine
+    level's ``shifts`` annotation (padded rows are empty so the contract
+    holds) — without it, padded shapes silently lost the DIA solve
+    kernels and fell back to gather SpMV."""
+    from hypre_tpu.amg.hierarchy import optimize_hierarchy
+    from hypre_tpu.seq.dia import DiaMatrix
+
+    A = laplacian_3d_7pt(10, 10, 10)  # 1000 -> padded 1024
+    hier = setup_hierarchy_device(A, max_coarse_size=60)
+    assert hier.levels[0].A.n_rows == 1024
+    assert hier.levels[0].A.shifts == A.shifts
+    hf = optimize_hierarchy(hier, prefer_pallas=True, gather_precision=0)
+    assert isinstance(hf.levels[0].A, DiaMatrix)
