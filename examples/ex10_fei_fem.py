@@ -30,6 +30,25 @@ def main(n=16):
     )
     assert bool(info.converged)
     print(f"ex10: FEI Q1 FEM + AMG-CG: {int(info.iterations)} iterations")
+
+    # FE-data-driven smoothed aggregation (femli's mli_amgsa path): the
+    # element matrices supply near-null candidates and the shared-element
+    # graph supplies the aggregation — no coordinates, no assembled-matrix
+    # heuristics (round-5 FEI depth slice)
+    from hypre_tpu.amg.smoothed_agg import SmoothedAggAMG
+    from hypre_tpu.krylov import pcg
+    from hypre_tpu.seq.ell import ell_spmv
+
+    Z = fei.element_null_candidates(num_vectors=2)
+    sa = SmoothedAggAMG(
+        null_space=Z, agg0=fei.element_graph_aggregates(),
+        max_coarse_size=40,
+    ).setup(fei.A, host_setup=False, optimize=False)
+    x2, info2 = pcg(lambda v: ell_spmv(fei.A, v), fei.b, M=sa.precond(),
+                    rtol=1e-8, maxiter=200)
+    assert bool(info2.converged)
+    print(f"ex10: FE-data-driven SA-AMG (element graph + element null "
+          f"space): {int(info2.iterations)} iterations")
     return info
 
 
