@@ -243,6 +243,43 @@ def _probe_tree(t):
 
 
 def main():
+    import os
+    import socket as _socket  # noqa: F811
+    # Backend liveness gate: jax.devices() blocks FOREVER inside a C-level
+    # retry loop when the tunnel-attached chip is unreachable (observed: a
+    # giant remote compile killed the terminal; backend init then hung for
+    # hours — SIGALRM cannot interrupt the blocked C call). Probe the
+    # terminal's stateless port first; wait up to ~20 min for the pool to
+    # recover, then emit an honest parseable line instead of a
+    # harness-timeout null.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        def _terminal_up() -> bool:
+            try:
+                with _socket.create_connection(("127.0.0.1", 8083),
+                                               timeout=5):
+                    return True
+            except OSError:
+                return False
+
+        waited = 0.0
+        while not _terminal_up() and waited < 1200:
+            log(f"TPU terminal port closed — waiting ({waited:.0f}s)")
+            time.sleep(30)
+            waited += 30
+        if not _terminal_up():
+            print(
+                json.dumps({
+                    "metric": "amg_pcg_setup_plus_solve_128cube_7pt",
+                    "value": None,
+                    "unit": "seconds",
+                    "vs_baseline": 0.0,
+                    "note": ("TPU backend unreachable at bench time "
+                             "(terminal port 8083 closed for 20 min) — "
+                             "infra outage, not a library failure"),
+                }),
+                flush=True,
+            )
+            return
     import dataclasses
     import os as _os
 
