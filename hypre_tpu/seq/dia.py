@@ -19,9 +19,12 @@ Laplacian share every SpMV/solve program (the shape-robustness verdict item;
 hypre's C kernels are shape-generic the same way). Inside the Pallas kernel
 the dynamic in-window shift is an aligned dynamic slice + a two-axis
 ``tpu.dynamic_rotate`` decomposition (Mosaic cannot prove alignment of raw
-dynamic lane slices); measured FASTER than the static-offset kernel it
-replaces (0.043 ms vs 0.091 ms on the 128^3 7-pt — the static kernel's
-per-diagonal unaligned static slices paid hidden relayouts).
+dynamic lane slices). Round-5 re-measurement: dynamic and static-offset
+kernels are within noise of each other (0.092-0.096 ms at 128^3 D=7 —
+round 4's "dynamic is 2x faster" reading was slope-method noise); the
+static specialization (``offsets_static``) is kept as the two-path
+dispatch option, and the performance lever that actually mattered was the
+block-major dvals layout (``pack_blocked`` — see ``dvals_blk``).
 """
 
 from __future__ import annotations
